@@ -1,0 +1,25 @@
+"""Test harness config: force CPU with 8 virtual devices so mesh/sharding
+logic is testable without TPUs (SURVEY.md §4 implication (d))."""
+
+import os
+
+os.environ["JAX_PLATFORMS"] = "cpu"
+flags = os.environ.get("XLA_FLAGS", "")
+if "host_platform_device_count" not in flags:
+    os.environ["XLA_FLAGS"] = (
+        flags + " --xla_force_host_platform_device_count=8"
+    ).strip()
+
+import jax  # noqa: E402
+
+# The sandbox's axon site package re-selects the TPU even when JAX_PLATFORMS
+# is set; the config update below is authoritative.
+jax.config.update("jax_platforms", "cpu")
+
+import numpy as np  # noqa: E402
+import pytest  # noqa: E402
+
+
+@pytest.fixture(scope="session")
+def rng():
+    return np.random.default_rng(1234)

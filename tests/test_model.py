@@ -1,0 +1,88 @@
+"""Model integration tests on tiny synthetic scenes (CPU)."""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from vfa_tpu.config import mc_opts, mx_opts, wt_opts
+from vfa_tpu.data.synthetic import make_scene, tiny_config
+from vfa_tpu.model import VFANet
+
+
+@pytest.mark.parametrize("cfg", [mc_opts, wt_opts], ids=lambda c: c.name)
+def test_forward_shapes(cfg):
+    tc = tiny_config(cfg)
+    scene = make_scene(tc, seed=0, num_objects=2)
+    model = VFANet(cfg=tc)
+    variables = model.init(
+        jax.random.PRNGKey(0),
+        jnp.asarray(scene.images), jnp.asarray(scene.calibs), jnp.asarray(scene.grid),
+    )
+    pred = model.apply(
+        variables,
+        jnp.asarray(scene.images), jnp.asarray(scene.calibs), jnp.asarray(scene.grid),
+    )
+    L, W = tc.grid_shape
+    assert pred["heatmap"].shape == (1, 1, L, W)
+    assert pred["loc_offset"].shape == (1, L, W, 2)
+    if tc.mode == "3D":
+        assert pred["dim_offset"].shape == (1, L, W, 3)
+        assert pred["rotation"].shape == (1, L, W, 360)
+    else:
+        assert "dim_offset" not in pred
+    for v in pred.values():
+        assert np.isfinite(np.asarray(v)).all()
+
+
+def test_forward_jits_and_differs_across_cameras():
+    tc = tiny_config(mc_opts)
+    scene = make_scene(tc, seed=1, num_objects=2)
+    model = VFANet(cfg=tc)
+    imgs = jnp.asarray(scene.images)
+    calibs = jnp.asarray(scene.calibs)
+    grid = jnp.asarray(scene.grid)
+    variables = model.init(jax.random.PRNGKey(0), imgs, calibs, grid)
+
+    fwd = jax.jit(lambda v, i, c, g: model.apply(v, i, c, g))
+    p1 = fwd(variables, imgs, calibs, grid)
+    # different images must change the output (sanity: images actually used)
+    p2 = fwd(variables, imgs * 0.5, calibs, grid)
+    assert not np.allclose(np.asarray(p1["heatmap"]), np.asarray(p2["heatmap"]))
+
+
+def test_train_step_grads_flow():
+    from vfa_tpu.codec import encode_frame
+    from vfa_tpu.losses import compute_loss3d
+    from vfa_tpu.utils import pad_objects
+
+    tc = tiny_config(mc_opts)
+    scene = make_scene(tc, seed=2, num_objects=3)
+    model = VFANet(cfg=tc)
+    imgs = jnp.asarray(scene.images)
+    calibs = jnp.asarray(scene.calibs)
+    grid = jnp.asarray(scene.grid)
+    variables = model.init(jax.random.PRNGKey(0), imgs, calibs, grid, train=True)
+    params, batch_stats = variables["params"], variables["batch_stats"]
+
+    dim_mean = jnp.asarray([145.0, 120.0, 255.0])
+    objs = pad_objects(scene.objects, 16, "3D")
+    gt = encode_frame(objs, scene.heatmap, cfg=tc, dim_mean=dim_mean)
+
+    def loss_fn(p):
+        pred, updates = model.apply(
+            {"params": p, "batch_stats": batch_stats},
+            imgs, calibs, grid, train=True, mutable=["batch_stats"],
+        )
+        loss, _ = compute_loss3d(pred, gt, tc.loss_weight)
+        return loss
+
+    loss, grads = jax.value_and_grad(loss_fn)(params)
+    assert np.isfinite(float(loss))
+    flat = jax.tree_util.tree_leaves(grads)
+    gnorm = sum(float(jnp.sum(g ** 2)) for g in flat) ** 0.5
+    assert np.isfinite(gnorm) and gnorm > 0
+    # backbone gets gradient through the voxel projection
+    g_conv1 = grads["base"]["conv1"]["kernel"]
+    assert float(jnp.abs(g_conv1).max()) > 0

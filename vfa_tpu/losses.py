@@ -1,0 +1,124 @@
+"""Detection losses (reference: `vfa/model/loss.py`).
+
+focal_loss: CenterNet-style heatmap focal loss with (1-gt)^4 negative
+down-weighting on sigmoid scores (`loss.py:5-31`). csl_angle_focal_loss: the
+same focal applied only at positive cells of the 360-bin CSL targets
+(`loss.py:33-42`). compute_loss3d / compute_loss2d: weighted sums with
+SmoothL1 on sigmoid(loc_offset) and raw dim_offset, masked by the gt mask and
+normalized by the number of positives (`loss.py:45-102`).
+
+All functions are pure jnp and shape-static; the CSL positive-cell selection
+uses masked reduction instead of boolean indexing so it jits.
+"""
+
+from __future__ import annotations
+
+from typing import Dict, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+
+
+def smooth_l1(pred, target):
+    """torch nn.SmoothL1Loss(reduction='none') with beta=1."""
+    d = jnp.abs(pred - target)
+    return jnp.where(d < 1.0, 0.5 * d * d, d - 0.5)
+
+
+def focal_loss(pred_logits, gt, alpha=2.0, beta=4.0, eps=1e-5):
+    """Heatmap focal loss, mean-reduced as in `loss.py:5-31`.
+
+    positives are cells where gt == 1; each branch is normalized by its own
+    count (the reference returns just the other branch when a count is 0).
+    """
+    pred = jnp.clip(jax.nn.sigmoid(pred_logits), eps, 1.0 - eps)
+    pos = (gt == 1.0).astype(pred.dtype)
+    neg = 1.0 - pos
+    n_pos = jnp.sum(pos)
+    n_neg = jnp.sum(neg)
+
+    pos_loss = -jnp.sum(((1.0 - pred) ** alpha) * jnp.log(pred) * pos)
+    neg_loss = -jnp.sum(((1.0 - gt) ** beta) * (pred ** alpha) * jnp.log(1.0 - pred) * neg)
+
+    pos_loss = jnp.where(n_pos > 0, pos_loss / jnp.maximum(n_pos, 1.0), 0.0)
+    neg_loss = jnp.where(n_neg > 0, neg_loss / jnp.maximum(n_neg, 1.0), 0.0)
+    return pos_loss + neg_loss
+
+
+def csl_angle_focal_loss(pred_logits, gt, foreground, alpha=2.0, beta=4.0, eps=1e-5):
+    """Focal loss on CSL bins at positive BEV cells only (`loss.py:33-42`).
+
+    pred_logits/gt: (1, L, W, A); foreground: (1, 1, L, W). The reference
+    boolean-indexes positive cells then runs focal_loss over (npos, A); here
+    the same per-branch mean is computed with masked sums (identical math,
+    jit-safe).
+    """
+    cell_mask = (foreground[0] == 1.0)[..., None]  # (1, L, W, 1)
+    pred = jnp.clip(jax.nn.sigmoid(pred_logits), eps, 1.0 - eps)
+    pos = (gt == 1.0) & cell_mask
+    neg = (gt != 1.0) & cell_mask
+    posf = pos.astype(pred.dtype)
+    negf = neg.astype(pred.dtype)
+    n_pos = jnp.sum(posf)
+    n_neg = jnp.sum(negf)
+
+    pos_loss = -jnp.sum(((1.0 - pred) ** alpha) * jnp.log(pred) * posf)
+    neg_loss = -jnp.sum(((1.0 - gt) ** beta) * (pred ** alpha) * jnp.log(1.0 - pred) * negf)
+
+    pos_loss = jnp.where(n_pos > 0, pos_loss / jnp.maximum(n_pos, 1.0), 0.0)
+    neg_loss = jnp.where(n_neg > 0, neg_loss / jnp.maximum(n_neg, 1.0), 0.0)
+    return pos_loss + neg_loss
+
+
+def compute_loss3d(
+    pred: Dict[str, jnp.ndarray],
+    gt: Dict[str, jnp.ndarray],
+    loss_weight: Sequence[float] = (1.0, 1.0, 1.0, 1.0),
+) -> Tuple[jnp.ndarray, Dict[str, jnp.ndarray]]:
+    """3D-mode loss (`loss.py:45-75`). Returns (total, loss_dict)."""
+    hm_w, pos_w, dim_w, ang_w = loss_weight
+    mask = gt["mask"][0][..., None]  # (1, L, W, 1)
+
+    loss_yx = smooth_l1(jax.nn.sigmoid(pred["loc_offset"]), gt["loc_offset"]) * mask
+    loss_hwl = smooth_l1(pred["dim_offset"], gt["dim_offset"]) * mask
+
+    loss_heatmap = focal_loss(pred["heatmap"], gt["heatmap"])
+    loss_angle = csl_angle_focal_loss(pred["rotation"], gt["rotation"], gt["mask"])
+
+    n_pos = jnp.maximum(jnp.sum(gt["mask"]), 1.0)
+    loss_yx = jnp.sum(loss_yx) / n_pos
+    loss_hwl = jnp.sum(loss_hwl) / n_pos
+
+    total = (
+        loss_yx * pos_w + loss_hwl * dim_w + loss_heatmap * hm_w + loss_angle * ang_w
+    )
+    return total, {
+        "loss": total,
+        "loss_heatmap": loss_heatmap * hm_w,
+        "loss_pos": loss_yx * pos_w,
+        "loss_hwl": loss_hwl * dim_w,
+        "loss_ang": loss_angle * ang_w,
+    }
+
+
+def compute_loss2d(
+    pred: Dict[str, jnp.ndarray],
+    gt: Dict[str, jnp.ndarray],
+    loss_weight: Sequence[float] = (1.0, 1.0),
+) -> Tuple[jnp.ndarray, Dict[str, jnp.ndarray]]:
+    """2D-mode loss (`loss.py:77-102`)."""
+    hm_w, pos_w = loss_weight
+    mask = gt["mask"][0][..., None]
+
+    loss_yx = smooth_l1(jax.nn.sigmoid(pred["loc_offset"]), gt["loc_offset"]) * mask
+    loss_heatmap = focal_loss(pred["heatmap"], gt["heatmap"])
+
+    n_pos = jnp.maximum(jnp.sum(gt["mask"]), 1.0)
+    loss_yx = jnp.sum(loss_yx) / n_pos
+
+    total = loss_yx * pos_w + loss_heatmap * hm_w
+    return total, {
+        "loss": total,
+        "loss_heatmap": loss_heatmap * hm_w,
+        "loss_pos": loss_yx * pos_w,
+    }

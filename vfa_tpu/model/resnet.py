@@ -1,0 +1,88 @@
+"""ResNet-18/34 feature pyramid with GroupNorm(16) in place of BatchNorm.
+
+Reference: `vfa/model/resnet.py` — BasicBlock with GN(16)
+(`resnet.py:26-57`), stem conv7x7/s2 + GN + maxpool3x3/s2
+(`resnet.py:100-102,139-140`), and a 3-scale pyramid return
+(feats8, feats16, feats32) with the classifier dropped (`resnet.py:138-147`).
+
+TPU-first: NHWC layout (XLA's preferred conv layout on TPU), flax.linen
+modules named so torch checkpoint keys map 1:1 (see `vfa_tpu/convert.py`).
+"""
+
+from __future__ import annotations
+
+from typing import Sequence, Tuple
+
+import flax.linen as nn
+import jax.numpy as jnp
+
+GN_EPS = 1e-5  # torch GroupNorm default eps
+
+
+def conv3x3(features: int, stride: int = 1, name: str | None = None) -> nn.Conv:
+    return nn.Conv(
+        features, (3, 3), strides=(stride, stride), padding=((1, 1), (1, 1)),
+        use_bias=False, name=name,
+    )
+
+
+def conv1x1(features: int, stride: int = 1, name: str | None = None) -> nn.Conv:
+    return nn.Conv(
+        features, (1, 1), strides=(stride, stride), padding="VALID",
+        use_bias=False, name=name,
+    )
+
+
+def group_norm(name: str | None = None) -> nn.GroupNorm:
+    return nn.GroupNorm(num_groups=16, epsilon=GN_EPS, name=name)
+
+
+class BasicBlock(nn.Module):
+    """Two 3x3 convs with GN, residual add (`vfa/model/resnet.py:26-57`)."""
+
+    planes: int
+    stride: int = 1
+    has_downsample: bool = False
+
+    @nn.compact
+    def __call__(self, x):
+        identity = x
+        out = nn.relu(group_norm("bn1")(conv3x3(self.planes, self.stride, "conv1")(x)))
+        out = group_norm("bn2")(conv3x3(self.planes, 1, "conv2")(out))
+        if self.has_downsample:
+            identity = group_norm("downsample_1")(
+                conv1x1(self.planes, self.stride, "downsample_0")(x)
+            )
+        return nn.relu(out + identity)
+
+
+class ResNetGN(nn.Module):
+    """ResNet trunk returning the /8, /16, /32 pyramid (NHWC).
+
+    `layers` is (2, 2, 2, 2) for resnet18, (3, 4, 6, 3) for resnet34
+    (`vfa/model/resnet.py:151-173`).
+    """
+
+    layers: Sequence[int] = (2, 2, 2, 2)
+
+    @nn.compact
+    def __call__(self, x) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
+        x = nn.Conv(64, (7, 7), strides=(2, 2), padding=((3, 3), (3, 3)),
+                    use_bias=False, name="conv1")(x)
+        x = nn.relu(group_norm("bn1")(x))
+        x = nn.max_pool(x, (3, 3), strides=(2, 2), padding=((1, 1), (1, 1)))
+
+        inplanes = 64
+        feats = []
+        for stage, (planes, blocks) in enumerate(
+            zip((64, 128, 256, 512), self.layers), start=1
+        ):
+            stride = 1 if stage == 1 else 2
+            for b in range(blocks):
+                s = stride if b == 0 else 1
+                ds = b == 0 and (s != 1 or inplanes != planes)
+                x = BasicBlock(planes, s, ds, name=f"layer{stage}_{b}")(x)
+                inplanes = planes
+            feats.append(x)
+        # feats = [feats4, feats8, feats16, feats32]; drop /4
+        return feats[1], feats[2], feats[3]
