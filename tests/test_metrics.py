@@ -1,0 +1,121 @@
+"""Golden-fixture metric tests.
+
+The expected values were produced by running the reference's pure-Python
+evaluation (`/root/reference/vfa/evaluation/pyeval`, scipy Hungarian, td=30)
+on its own demo fixtures (`gt-demo.txt`/`test-demo.txt`,
+`all_res.txt`/`all_test_gt.txt`), which this repo vendors under
+tests/fixtures/. Reproducing these numbers exactly is the correctness gate
+for the metric reimplementation (SURVEY.md §4)."""
+
+from pathlib import Path
+
+import numpy as np
+import pytest
+
+from vfa_tpu.eval.apaos import ap_aos_sweep, frame_matches
+from vfa_tpu.eval.moda import clear_mod_metrics, evaluate_detection
+from vfa_tpu.native import linear_sum_assignment, native_available
+
+FIXTURES = Path(__file__).parent / "fixtures"
+
+# reference pyeval outputs on the demo fixtures (recall, precision, MODA, MODP)
+GOLDEN_DEMO = (95.48319327731093, 94.09937888198758, 89.49579831932773, 83.27931600146269)
+GOLDEN_ALLRES = (91.17647058823529, 92.34042553191489, 83.61344537815127, 83.650244164872)
+
+
+def test_moda_demo_fixture_matches_reference():
+    got = evaluate_detection(
+        str(FIXTURES / "test-demo.txt"), str(FIXTURES / "gt-demo.txt"), td=30.0
+    )
+    np.testing.assert_allclose(got, GOLDEN_DEMO, rtol=1e-9)
+
+
+def test_moda_allres_fixture_matches_reference():
+    got = evaluate_detection(
+        str(FIXTURES / "all_res.txt"), str(FIXTURES / "all_test_gt.txt"), td=30.0
+    )
+    np.testing.assert_allclose(got, GOLDEN_ALLRES, rtol=1e-9)
+
+
+def test_moda_perfect_detections():
+    gt = np.array([[0, 0, 10.0, 20.0], [0, 1, 50.0, 60.0], [1, 0, 5.0, 5.0]])
+    r, p, moda, modp = clear_mod_metrics(gt, gt.copy(), td=30.0)
+    assert (r, p, moda, modp) == (100.0, 100.0, 100.0, 100.0)
+
+
+def test_moda_false_positives_penalize():
+    gt = np.array([[0, 0, 10.0, 20.0]])
+    det = np.array([[0, 0, 10.0, 20.0], [0, 1, 500.0, 500.0]])
+    r, p, moda, modp = clear_mod_metrics(gt, det, td=30.0)
+    assert r == 100.0
+    assert p == pytest.approx(50.0)
+    assert moda == pytest.approx(0.0)  # 1 - (0 + 1)/1 = 0
+
+
+def test_native_matching_agrees_with_scipy(rng):
+    from scipy.optimize import linear_sum_assignment as scipy_lsa
+
+    if not native_available():
+        pytest.skip("native toolchain unavailable")
+    for shape in [(5, 5), (3, 7), (7, 3), (1, 1), (10, 10)]:
+        cost = rng.uniform(0, 100, size=shape)
+        r1, c1 = linear_sum_assignment(cost)
+        r2, c2 = scipy_lsa(cost)
+        # optimal cost must agree (assignments may differ on ties)
+        assert cost[r1, c1].sum() == pytest.approx(cost[r2, c2].sum(), abs=1e-9)
+        assert len(r1) == min(shape)
+        assert len(np.unique(c1)) == len(c1)
+
+
+def test_ap_aos_perfect_predictions():
+    # 3 gts, 3 perfect predictions -> AP = AOS = 1
+    gts = np.array([
+        [0.0, 0.0, 0.0, 4.0, 2.0, 2.0, 0.3],
+        [10.0, 0.0, 0.0, 4.0, 2.0, 2.0, -0.5],
+        [0.0, 10.0, 0.0, 4.0, 2.0, 2.0, 1.0],
+    ])
+    preds = np.concatenate([gts, np.full((3, 1), 0.9)], axis=1)
+    info = frame_matches(preds, gts, 0.75)
+    assert info[:, 1].sum() == 3
+    ap, aos = ap_aos_sweep(info, 3)
+    assert ap == pytest.approx(1.0)
+    assert aos == pytest.approx(1.0)
+
+
+def test_ap_aos_orientation_error_lowers_aos_not_ap():
+    gts = np.array([[0.0, 0.0, 0.0, 4.0, 2.0, 2.0, 0.0]])
+    pred = np.array([[0.0, 0.0, 0.0, 4.0, 2.0, 2.0, np.pi, 0.9]])  # flipped 180
+    info = frame_matches(pred, gts, 0.5)
+    assert info[0, 1] == 1  # still a TP by IoU
+    ap, aos = ap_aos_sweep(info, 1)
+    assert ap == pytest.approx(1.0)
+    assert aos == pytest.approx(0.0, abs=1e-9)  # (1+cos(pi))/2 = 0
+
+
+def test_ap_aos_false_positive_curve():
+    gts = np.array([[0.0, 0.0, 0.0, 4.0, 2.0, 2.0, 0.0]])
+    preds = np.array([
+        [0.0, 0.0, 0.0, 4.0, 2.0, 2.0, 0.0, 0.9],      # TP, high conf
+        [50.0, 50.0, 0.0, 4.0, 2.0, 2.0, 0.0, 0.5],    # FP, low conf
+    ])
+    info = frame_matches(preds, gts, 0.5)
+    ap, _ = ap_aos_sweep(info, 1)
+    # precision at recall 1.0 is 1.0 (TP ranked first); AP = 1.0 (11-pt)
+    assert ap == pytest.approx(1.0)
+    # flip confidences -> FP first: precision at recall>=0 becomes max(0.5, 1/1...)
+    preds2 = preds.copy()
+    preds2[0, 7], preds2[1, 7] = 0.5, 0.9
+    info2 = frame_matches(preds2, gts, 0.5)
+    ap2, _ = ap_aos_sweep(info2, 1)
+    assert ap2 < ap
+
+
+def test_frame_matches_shared_gt_not_removed():
+    # two predictions over one gt: BOTH match (reference keeps matched gts)
+    gts = np.array([[0.0, 0.0, 0.0, 4.0, 2.0, 2.0, 0.0]])
+    preds = np.array([
+        [0.0, 0.0, 0.0, 4.0, 2.0, 2.0, 0.0, 0.9],
+        [0.1, 0.0, 0.0, 4.0, 2.0, 2.0, 0.0, 0.8],
+    ])
+    info = frame_matches(preds, gts, 0.5)
+    assert info[:, 1].sum() == 2
