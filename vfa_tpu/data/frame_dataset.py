@@ -1,0 +1,150 @@
+"""Frame-level dataset + batched prefetching loader.
+
+FrameDataset mirrors the reference `frameDataset` (`vfa/data/dataset.py:18-68`):
+wraps an adapter, 90/10 train/val split (Wildtrack strides by 5), and per
+frame returns all camera images (resized, float [0,1]), the (N, 3, 4)
+calibrations, the gt objects / heatmap, and the shared BEV grid.
+
+SceneLoader replaces torch DataLoader(num_workers=0, collate_fn=collate,
+batch_size=1): it batches whole scenes on a leading axis, pads gt objects to
+fixed shape for jit, decodes/resizes JPEGs on a thread pool, and prefetches
+ahead of the accelerator.
+"""
+
+from __future__ import annotations
+
+import concurrent.futures as cf
+import threading
+from typing import Dict, Iterator, List, Optional, Sequence
+
+import numpy as np
+
+from vfa_tpu.config import DatasetConfig
+from vfa_tpu.geometry import make_grid
+from vfa_tpu.utils import pad_objects
+
+
+class FrameDataset:
+    def __init__(self, base, cfg: DatasetConfig, split: str = "train",
+                 train_ratio: float = 0.9):
+        assert split in ("train", "val"), "split mode error"
+        self.base = base
+        self.cfg = cfg
+        self.num_cam = base.num_cam
+        n = base.num_frame
+        if split == "train":
+            rng = range(0, int(n * train_ratio))
+        else:
+            rng = range(int(n * train_ratio), n)
+        if base.name == "Wildtrack":
+            rng = range(rng.start, rng.stop, 5)
+        self.frame_range = rng
+
+        # labels/heatmaps are indexed by *annotation order*; Wildtrack's
+        # stride-5 annotations enumerate frames 0,5,10,...
+        # (`vfa/data/dataset.py:46-55`)
+        if base.name == "Wildtrack":
+            keep = [i for i, f in enumerate(range(0, n, 5)) if f in rng]
+        else:
+            keep = [i for i in range(len(base.labels)) if i in rng]
+        self.labels = [base.labels[i] for i in keep]
+        self.heatmaps = [np.asarray(base.heatmaps[i], np.float32) for i in keep]
+        self.fpaths = base.get_image_fpaths(self.frame_range)
+        self.calibs = base.calibrations  # (N, 3, 4)
+        self.grid = make_grid(cfg.world_size, cfg.cube_size[:2], cfg.name)
+        self.dim_mean = getattr(base, "dim_mean", None)
+
+    def __len__(self):
+        return len(self.frame_range)
+
+    def load_images(self, index: int) -> np.ndarray:
+        """(N, H, W, 3) float32 in [0, 1], resized to cfg.resize_size."""
+        from PIL import Image
+
+        frame = list(self.frame_range)[index]
+        h, w = self.cfg.resize_size
+        imgs = []
+        for cam in range(1, self.num_cam + 1):
+            img = Image.open(self.fpaths[cam][frame]).convert("RGB")
+            if img.size != (w, h):
+                img = img.resize((w, h), Image.BILINEAR)
+            imgs.append(np.asarray(img, np.float32) / 255.0)
+        return np.stack(imgs)
+
+    def __getitem__(self, index: int) -> Dict[str, np.ndarray]:
+        return {
+            "index": index,
+            "frame": list(self.frame_range)[index],
+            "images": self.load_images(index),
+            "calibs": self.calibs,
+            "objects": self.labels[index],
+            "heatmap": self.heatmaps[index],
+            "grid": self.grid,
+        }
+
+
+class SceneLoader:
+    """Batched, threaded, prefetching scene loader."""
+
+    def __init__(self, dataset: FrameDataset, batch_size: int = 1,
+                 shuffle: bool = False, max_objects: int = 128,
+                 num_threads: int = 8, prefetch: int = 2, seed: int = 0,
+                 drop_last: bool = False):
+        self.ds = dataset
+        self.batch_size = batch_size
+        self.shuffle = shuffle
+        self.max_objects = max_objects
+        self.num_threads = num_threads
+        self.prefetch = prefetch
+        self.drop_last = drop_last
+        self._rng = np.random.default_rng(seed)
+
+    def __len__(self):
+        n = len(self.ds)
+        if self.drop_last:
+            return n // self.batch_size
+        return (n + self.batch_size - 1) // self.batch_size
+
+    def _make_batch(self, idxs: Sequence[int]) -> Dict[str, np.ndarray]:
+        items = [self.ds[i] for i in idxs]
+        mode = self.ds.cfg.mode
+        objs = [pad_objects(it["objects"], self.max_objects, mode)
+                for it in items]
+        batch = {
+            "index": np.asarray([it["index"] for it in items]),
+            "frame": np.asarray([it["frame"] for it in items]),
+            "images": np.stack([it["images"] for it in items]),
+            "calibs": np.stack([it["calibs"] for it in items]),
+            "grid": items[0]["grid"],
+            "heatmap": np.stack([it["heatmap"] for it in items]),
+            "location": np.stack([o["location"] for o in objs]),
+            "valid": np.stack([o["valid"] for o in objs]),
+            "objects": [it["objects"] for it in items],
+        }
+        if mode == "3D":
+            batch["dimension"] = np.stack([o["dimension"] for o in objs])
+            batch["rotation"] = np.stack([o["rotation"] for o in objs])
+        return batch
+
+    def __iter__(self) -> Iterator[Dict[str, np.ndarray]]:
+        order = np.arange(len(self.ds))
+        if self.shuffle:
+            self._rng.shuffle(order)
+        chunks = [order[i:i + self.batch_size]
+                  for i in range(0, len(order), self.batch_size)]
+        if self.drop_last:
+            chunks = [c for c in chunks if len(c) == self.batch_size]
+
+        with cf.ThreadPoolExecutor(self.num_threads) as pool:
+            pending = []
+            it = iter(chunks)
+            for _ in range(self.prefetch + 1):
+                c = next(it, None)
+                if c is not None:
+                    pending.append(pool.submit(self._make_batch, c))
+            while pending:
+                fut = pending.pop(0)
+                c = next(it, None)
+                if c is not None:
+                    pending.append(pool.submit(self._make_batch, c))
+                yield fut.result()

@@ -53,7 +53,7 @@ def csl_angle_focal_loss(pred_logits, gt, foreground, alpha=2.0, beta=4.0, eps=1
     the same per-branch mean is computed with masked sums (identical math,
     jit-safe).
     """
-    cell_mask = (foreground[0] == 1.0)[..., None]  # (1, L, W, 1)
+    cell_mask = jnp.moveaxis(foreground, 1, -1) == 1.0  # (B, L, W, 1)
     pred = jnp.clip(jax.nn.sigmoid(pred_logits), eps, 1.0 - eps)
     pos = (gt == 1.0) & cell_mask
     neg = (gt != 1.0) & cell_mask
@@ -77,7 +77,7 @@ def compute_loss3d(
 ) -> Tuple[jnp.ndarray, Dict[str, jnp.ndarray]]:
     """3D-mode loss (`loss.py:45-75`). Returns (total, loss_dict)."""
     hm_w, pos_w, dim_w, ang_w = loss_weight
-    mask = gt["mask"][0][..., None]  # (1, L, W, 1)
+    mask = jnp.moveaxis(gt["mask"], 1, -1)  # (B, 1, L, W) -> (B, L, W, 1)
 
     loss_yx = smooth_l1(jax.nn.sigmoid(pred["loc_offset"]), gt["loc_offset"]) * mask
     loss_hwl = smooth_l1(pred["dim_offset"], gt["dim_offset"]) * mask
@@ -108,7 +108,7 @@ def compute_loss2d(
 ) -> Tuple[jnp.ndarray, Dict[str, jnp.ndarray]]:
     """2D-mode loss (`loss.py:77-102`)."""
     hm_w, pos_w = loss_weight
-    mask = gt["mask"][0][..., None]
+    mask = jnp.moveaxis(gt["mask"], 1, -1)  # (B, 1, L, W) -> (B, L, W, 1)
 
     loss_yx = smooth_l1(jax.nn.sigmoid(pred["loc_offset"]), gt["loc_offset"]) * mask
     loss_heatmap = focal_loss(pred["heatmap"], gt["heatmap"])

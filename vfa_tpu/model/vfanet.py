@@ -32,11 +32,29 @@ IMAGENET_STD = (0.229, 0.224, 0.225)
 RESNET_LAYERS = {"resnet18": (2, 2, 2, 2), "resnet34": (3, 4, 6, 3)}
 
 
+def torch_linear_init(fan_in: int):
+    """torch nn.Linear default init: U(-1/sqrt(fan_in), 1/sqrt(fan_in))
+    for both kernel and bias."""
+    bound = 1.0 / (fan_in ** 0.5)
+
+    def init(key, shape, dtype=jnp.float32):
+        return jax.random.uniform(key, shape, dtype, -bound, bound)
+
+    return init
+
+
 class VFANet(nn.Module):
+    """camera_reduce: 'scan' folds the camera axis sequentially (constant
+    memory in N — the TPU analog of the reference's Python camera loop,
+    but inside one jitted graph); 'vmap' materializes all cameras (use when
+    the camera axis is sharded over a mesh so GSPMD turns the sum into an
+    all-reduce)."""
+
     cfg: DatasetConfig
     base: str = "resnet18"
     angle_range: int = 360
     crange: Tuple[float, float] = (-1.0, 0.95)
+    camera_reduce: str = "scan"
 
     def setup(self):
         if self.base not in RESNET_LAYERS:
@@ -54,11 +72,16 @@ class VFANet(nn.Module):
         self.bn16 = group_norm("bn16")
         self.bn32 = group_norm("bn32")
 
+        # collapse Linear(C*nl -> C) per scale (`vfa/model/vfa_op.py:59`),
+        # as raw params (not Dense) so they can be applied inside lax.scan
+        # over the camera axis; torch Linear init + (in, out) kernel layout.
         nl = self.cfg.num_layers
-        self.collapse8 = nn.Dense(256, name="vfa8_collapse")
-        self.collapse16 = nn.Dense(256, name="vfa16_collapse")
-        self.collapse32 = nn.Dense(256, name="vfa32_collapse")
-        del nl
+        fan_in = 256 * nl
+        for s in (8, 16, 32):
+            setattr(self, f"collapse{s}_kernel", self.param(
+                f"vfa{s}_collapse_kernel", torch_linear_init(fan_in), (fan_in, 256)))
+            setattr(self, f"collapse{s}_bias", self.param(
+                f"vfa{s}_collapse_bias", torch_linear_init(fan_in), (256,)))
 
         self.fuse_conv0 = nn.Conv(256, (3, 3), padding=((1, 1), (1, 1)), name="fuse_0")
         self.fuse_bn1 = nn.BatchNorm(momentum=0.9, epsilon=1e-5, name="fuse_1")
@@ -90,11 +113,18 @@ class VFANet(nn.Module):
             )
 
     def bev_features(self, images, calibs, grid) -> jnp.ndarray:
-        """Images (N, H, W, 3) in [0,1] + calibs (N, 3, 4) + grid (L, W, 3)
-        -> fused BEV ortho features (L, W, 256)."""
+        """Images (B, N, H, W, 3) in [0,1] + calibs (B, N, 3, 4) + grid
+        (L, W, 3) -> fused BEV ortho features (B, L, W, 256).
+
+        The backbone and laterals run once over all B*N camera images; the
+        per-(camera, scale) voxel sampling is vmapped and the camera axis is
+        reduced with a sum (the psum analog of `vfanet.py:82` when sharded).
+        """
+        B, N = images.shape[0], images.shape[1]
         mean = jnp.asarray(IMAGENET_MEAN, dtype=images.dtype)
         std = jnp.asarray(IMAGENET_STD, dtype=images.dtype)
-        x = (images - mean) / std
+        x = ((images - mean) / std).reshape(B * N, *images.shape[2:])
+        flat_calibs = calibs.reshape(B * N, 3, 4)
 
         feats8, feats16, feats32 = self.backbone(x)
         lat8 = nn.relu(self.bn8(self.lat8(feats8)))
@@ -102,50 +132,87 @@ class VFANet(nn.Module):
         lat32 = nn.relu(self.bn32(self.lat32(feats32)))
 
         cfg = self.cfg
-        ortho = 0.0
-        for lat, collapse in (
-            (lat8, self.collapse8),
-            (lat16, self.collapse16),
-            (lat32, self.collapse32),
-        ):
-            fh, fw = lat.shape[1], lat.shape[2]
+        L, W = grid.shape[0], grid.shape[1]
 
-            def boxes_fn(calib, fh=fh, fw=fw):
-                return voxel_boxes(
-                    calib, grid,
-                    dataset=cfg.name, grid_height=cfg.grid_h,
-                    cube_size=cfg.cube_size, image_size=cfg.image_size,
-                    crange=self.crange,
+        def boxes_fn(calib):
+            return voxel_boxes(
+                calib, grid,
+                dataset=cfg.name, grid_height=cfg.grid_h,
+                cube_size=cfg.cube_size, image_size=cfg.image_size,
+                crange=self.crange,
+            )
+
+        boxes = jax.vmap(boxes_fn)(flat_calibs)          # (B*N, nl, L, W, 4)
+        scales = (
+            (lat8, self.collapse8_kernel, self.collapse8_bias),
+            (lat16, self.collapse16_kernel, self.collapse16_bias),
+            (lat32, self.collapse32_kernel, self.collapse32_bias),
+        )
+
+        def one_camera(lat_hwc_tuple, boxes_c):
+            """BEV contribution of one camera: sum over the 3 scales of
+            relu(collapse(sample_voxels(...)))."""
+            out = jnp.zeros((L, W, 256), dtype=lat8.dtype)
+            for lat_hwc, (_, k, b) in zip(lat_hwc_tuple, scales):
+                vox = sample_voxels(
+                    jnp.transpose(lat_hwc, (2, 0, 1)), boxes_c
+                )                                         # (L, W, C*nl)
+                out = out + nn.relu(
+                    jnp.dot(vox, k, preferred_element_type=jnp.float32) + b
                 )
+            return out
 
-            boxes = jax.vmap(boxes_fn)(calibs)           # (N, nl, L, W, 4)
-            lat_chw = jnp.transpose(lat, (0, 3, 1, 2))   # (N, C, fh, fw)
-            vox = jax.vmap(sample_voxels)(lat_chw, boxes)  # (N, L, W, C*nl)
-            ortho = ortho + jnp.sum(nn.relu(collapse(vox)), axis=0)
+        if self.camera_reduce == "vmap":
+            per_cam = jax.vmap(one_camera)((lat8, lat16, lat32), boxes)
+            ortho = jnp.sum(per_cam.reshape(B, N, L, W, 256), axis=1)
+        else:
+            # scan over cameras, accumulating per scene: constant memory in N
+            lat8_c = lat8.reshape(B, N, *lat8.shape[1:]).swapaxes(0, 1)
+            lat16_c = lat16.reshape(B, N, *lat16.shape[1:]).swapaxes(0, 1)
+            lat32_c = lat32.reshape(B, N, *lat32.shape[1:]).swapaxes(0, 1)
+            boxes_c = boxes.reshape(B, N, *boxes.shape[1:]).swapaxes(0, 1)
+
+            def body(carry, xs):
+                l8, l16, l32, bx = xs
+                contrib = jax.vmap(one_camera)((l8, l16, l32), bx)  # (B,L,W,256)
+                return carry + contrib, None
+
+            ortho, _ = jax.lax.scan(
+                body,
+                jnp.zeros((B, L, W, 256), dtype=lat8.dtype),
+                (lat8_c, lat16_c, lat32_c, boxes_c),
+            )
         return ortho
 
     def __call__(
         self, images, calibs, grid, train: bool = False
     ) -> Dict[str, Any]:
-        """Returns the reference's prediction dict (`vfanet.py:141-149`):
-        heatmap (1, 1, L, W); loc_offset (1, L, W, 2); and in 3D mode
-        dim_offset (1, L, W, 3), rotation (1, L, W, angle_range)."""
-        ortho = self.bev_features(images, calibs, grid)[None]  # (1, L, W, 256)
+        """Returns the reference's prediction dict (`vfanet.py:141-149`),
+        batched over scenes: heatmap (B, 1, L, W); loc_offset (B, L, W, 2);
+        and in 3D mode dim_offset (B, L, W, 3), rotation (B, L, W, angle).
+
+        Accepts unbatched single-scene input (N, H, W, 3) as B=1 for
+        reference-CLI compatibility.
+        """
+        if images.ndim == 4:
+            images = images[None]
+            calibs = calibs[None]
+        ortho = self.bev_features(images, calibs, grid)  # (B, L, W, 256)
 
         fused = nn.relu(self.fuse_bn1(self.fuse_conv0(ortho), use_running_average=not train))
         fused = nn.relu(self.fuse_bn4(self.fuse_conv3(fused), use_running_average=not train))
 
-        heatmap = self.map_classifier(fused)             # (1, L, W, 1)
+        heatmap = self.map_classifier(fused)             # (B, L, W, 1)
         tytx = self.tytx_conv3(nn.relu(self.tytx_gn1(self.tytx_conv0(ortho))))
         pred = {
-            "heatmap": jnp.transpose(heatmap, (0, 3, 1, 2)),  # (1, 1, L, W)
-            "loc_offset": tytx,                               # (1, L, W, 2)
+            "heatmap": jnp.transpose(heatmap, (0, 3, 1, 2)),  # (B, 1, L, W)
+            "loc_offset": tytx,                               # (B, L, W, 2)
         }
         if self.cfg.mode == "3D":
-            orient = self.orient_pred(fused)                  # (1, L, W, 360)
+            orient = self.orient_pred(fused)                  # (B, L, W, 360)
             thtwtl = self.thtwtl_conv3(
                 nn.relu(self.thtwtl_gn1(self.thtwtl_conv0(ortho)))
             )
-            pred["dim_offset"] = thtwtl                       # (1, L, W, 3)
+            pred["dim_offset"] = thtwtl                       # (B, L, W, 3)
             pred["rotation"] = orient
         return pred

@@ -1,0 +1,258 @@
+"""Training library: jitted train/eval steps, optimizer, checkpointing.
+
+Reference recipe (`train.py:256-258`): SGD lr=0.02 momentum=0.5 wd=5e-4 with
+OneCycleLR. The reference configures OneCycleLR with
+steps_per_epoch*epochs total steps but calls scheduler.step() once per EPOCH
+(`train.py:274`), so training only traverses the first `epochs` steps of the
+cycle; `TrainConfig.scheduler_step_per_epoch=True` (default) replicates that
+quirk, False steps per iteration as the configuration implies.
+
+TPU-first: one jitted train step covering forward, in-graph target encoding,
+loss, backward and the optimizer update; scenes batch on a leading axis and
+shard over the mesh's 'data' axis (vfa_tpu/parallel.py). Checkpointing is
+orbax (`vfa_tpu/checkpoint.py`), replacing torch .pth dicts.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Any, Dict, Optional, Tuple
+
+import flax
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+
+from vfa_tpu.codec import encode_frame
+from vfa_tpu.config import DatasetConfig, TrainConfig
+from vfa_tpu.losses import compute_loss2d, compute_loss3d
+from vfa_tpu.model import VFANet
+
+
+@flax.struct.dataclass
+class TrainState:
+    step: jnp.ndarray
+    params: Any
+    batch_stats: Any
+    opt_state: Any
+
+
+def onecycle_schedule(tcfg: TrainConfig, steps_per_epoch: int):
+    """torch OneCycleLR curve, exactly (defaults: pct_start .3, cos anneal,
+    div_factor 25, final_div_factor 1e4) over steps_per_epoch*epochs steps.
+
+    optax.cosine_onecycle_schedule has off-by-one phase boundaries vs torch;
+    this reproduces torch's `_annealing_cos` milestones bit-for-bit so the
+    reference recipe's LR trajectory carries over.
+    """
+    total = steps_per_epoch * tcfg.epochs
+    pct_start, div_factor, final_div = 0.3, 25.0, 1e4
+    initial = tcfg.lr / div_factor
+    min_lr = initial / final_div
+    up = pct_start * total - 1.0          # last index of the warmup phase
+    down = (total - 1.0) - up
+
+    def _cos(a, b, pct):
+        return b + (a - b) / 2.0 * (1.0 + jnp.cos(jnp.pi * pct))
+
+    def schedule(count):
+        s = jnp.asarray(count, jnp.float32)
+        warm = _cos(initial, tcfg.lr, jnp.clip(s / up, 0.0, 1.0))
+        anneal = _cos(tcfg.lr, min_lr, jnp.clip((s - up) / down, 0.0, 1.0))
+        return jnp.where(s <= up, warm, anneal)
+
+    return schedule
+
+
+def momentum_schedule(tcfg: TrainConfig, steps_per_epoch: int,
+                      base_momentum: float = 0.85, max_momentum: float = 0.95):
+    """torch OneCycleLR's momentum cycle.
+
+    Reference quirk: `train.py:256-258` passes momentum=0.5 to SGD, but
+    OneCycleLR defaults to cycle_momentum=True and OVERRIDES the optimizer's
+    momentum every scheduler step — cosine from 0.95 down to 0.85 during
+    warmup and back to 0.95 during anneal. The configured 0.5 never takes
+    effect after the first scheduler.step(). Replicated exactly.
+    """
+    total = steps_per_epoch * tcfg.epochs
+    up = 0.3 * total - 1.0
+    down = (total - 1.0) - up
+
+    def _cos(a, b, pct):
+        return b + (a - b) / 2.0 * (1.0 + jnp.cos(jnp.pi * pct))
+
+    def schedule(count):
+        s = jnp.asarray(count, jnp.float32)
+        warm = _cos(max_momentum, base_momentum, jnp.clip(s / up, 0.0, 1.0))
+        anneal = _cos(base_momentum, max_momentum, jnp.clip((s - up) / down, 0.0, 1.0))
+        return jnp.where(s <= up, warm, anneal)
+
+    return schedule
+
+
+@flax.struct.dataclass
+class SGDState:
+    count: jnp.ndarray
+    trace: Any
+
+
+def make_optimizer(tcfg: TrainConfig, steps_per_epoch: int) -> optax.GradientTransformation:
+    """torch-SGD + OneCycleLR semantics, including scheduled momentum:
+    g = grad + wd*p; buf = m(t)*buf + g; p -= lr(t)*buf.
+
+    Under the reference's per-epoch stepping quirk, the scheduler step t is
+    the epoch index (scheduler stepped once before each epoch => epoch e
+    trains entirely at schedule(e)); otherwise t is the iteration count.
+    """
+    lr_cycle = onecycle_schedule(tcfg, steps_per_epoch)
+    mom_cycle = momentum_schedule(tcfg, steps_per_epoch)
+    if tcfg.scheduler_step_per_epoch:
+        def sched_step(count):
+            return count // steps_per_epoch + 1
+    else:
+        def sched_step(count):
+            return count
+
+    wd = tcfg.weight_decay
+
+    def init_fn(params):
+        return SGDState(
+            count=jnp.zeros((), jnp.int32),
+            trace=jax.tree_util.tree_map(jnp.zeros_like, params),
+        )
+
+    def update_fn(grads, state, params):
+        t = sched_step(state.count)
+        lr = lr_cycle(t)
+        mom = mom_cycle(t)
+        g = jax.tree_util.tree_map(lambda gi, pi: gi + wd * pi, grads, params)
+        new_trace = jax.tree_util.tree_map(
+            lambda ti, gi: mom * ti + gi, state.trace, g
+        )
+        updates = jax.tree_util.tree_map(lambda ti: -lr * ti, new_trace)
+        return updates, SGDState(count=state.count + 1, trace=new_trace)
+
+    return optax.GradientTransformation(init_fn, update_fn)
+
+
+def current_lr(tcfg: TrainConfig, steps_per_epoch: int, step: int) -> float:
+    cycle = onecycle_schedule(tcfg, steps_per_epoch)
+    if tcfg.scheduler_step_per_epoch:
+        return float(cycle(step // steps_per_epoch + 1))
+    return float(cycle(step))
+
+
+def create_model(cfg: DatasetConfig, tcfg: TrainConfig,
+                 camera_reduce: str = "scan") -> VFANet:
+    return VFANet(cfg=cfg, base=tcfg.base, angle_range=tcfg.angle_range,
+                  camera_reduce=camera_reduce)
+
+
+def init_state(
+    model: VFANet,
+    cfg: DatasetConfig,
+    tcfg: TrainConfig,
+    rng,
+    steps_per_epoch: int,
+    sample_batch: Dict[str, jnp.ndarray],
+) -> Tuple[TrainState, optax.GradientTransformation]:
+    variables = model.init(
+        rng, sample_batch["images"], sample_batch["calibs"], sample_batch["grid"],
+        train=True,
+    )
+    tx = make_optimizer(tcfg, steps_per_epoch)
+    state = TrainState(
+        step=jnp.zeros((), jnp.int32),
+        params=variables["params"],
+        batch_stats=variables.get("batch_stats", {}),
+        opt_state=tx.init(variables["params"]),
+    )
+    return state, tx
+
+
+def encode_targets(batch: Dict[str, jnp.ndarray], cfg: DatasetConfig,
+                   dim_mean, angle_range: int):
+    """vmap the per-frame encoder over the scene batch; squeeze the encoder's
+    per-frame leading 1 so targets are (B, ...)."""
+    def enc(objects, heatmap):
+        kw = {"dim_mean": dim_mean} if cfg.mode == "3D" else {}
+        return encode_frame(objects, heatmap, cfg=cfg, angle_range=angle_range, **kw)
+
+    objects = {k: batch[k] for k in
+               ("location", "valid", "dimension", "rotation") if k in batch}
+    enc_b = jax.vmap(enc)(objects, batch["heatmap"])
+    return {k: v[:, 0] for k, v in enc_b.items()}  # drop per-frame dim -> (B, ...)
+
+
+def make_train_step(model: VFANet, tx, cfg: DatasetConfig, tcfg: TrainConfig,
+                    dim_mean=None):
+    """Returns jitted (state, batch) -> (state, loss_dict).
+
+    batch: images (B, N, H, W, 3), calibs (B, N, 3, 4), grid (L, W, 3),
+    heatmap (B, L, W), location (B, M, 3), valid (B, M), and for 3D
+    dimension (B, M, 3), rotation (B, M).
+    """
+    loss_fn3 = functools.partial(compute_loss3d, loss_weight=cfg.loss_weight)
+    loss_fn2 = functools.partial(compute_loss2d, loss_weight=cfg.loss_weight)
+    dim_mean = None if dim_mean is None else jnp.asarray(dim_mean)
+
+    def loss_fn(params, batch_stats, batch):
+        pred, updates = model.apply(
+            {"params": params, "batch_stats": batch_stats},
+            batch["images"], batch["calibs"], batch["grid"],
+            train=True, mutable=["batch_stats"],
+        )
+        gt = encode_targets(batch, cfg, dim_mean, model.angle_range)
+        if cfg.mode == "3D":
+            loss, loss_dict = loss_fn3(pred, gt)
+        else:
+            loss, loss_dict = loss_fn2(pred, gt)
+        return loss, (loss_dict, updates["batch_stats"])
+
+    @jax.jit
+    def train_step(state: TrainState, batch):
+        grad_fn = jax.value_and_grad(loss_fn, has_aux=True)
+        (_, (loss_dict, new_bs)), grads = grad_fn(state.params, state.batch_stats, batch)
+        updates, new_opt = tx.update(grads, state.opt_state, state.params)
+        new_params = optax.apply_updates(state.params, updates)
+        new_state = TrainState(
+            step=state.step + 1, params=new_params,
+            batch_stats=new_bs, opt_state=new_opt,
+        )
+        return new_state, loss_dict
+
+    return train_step
+
+
+def make_eval_step(model: VFANet, cfg: DatasetConfig, dim_mean=None):
+    """Jitted validation step: loss under running BN stats, no update."""
+    dim_mean = None if dim_mean is None else jnp.asarray(dim_mean)
+
+    @jax.jit
+    def eval_step(state: TrainState, batch):
+        pred = model.apply(
+            {"params": state.params, "batch_stats": state.batch_stats},
+            batch["images"], batch["calibs"], batch["grid"], train=False,
+        )
+        gt = encode_targets(batch, cfg, dim_mean, model.angle_range)
+        if cfg.mode == "3D":
+            _, loss_dict = compute_loss3d(pred, gt, cfg.loss_weight)
+        else:
+            _, loss_dict = compute_loss2d(pred, gt, cfg.loss_weight)
+        return loss_dict, pred
+
+    return eval_step
+
+
+def make_forward(model: VFANet):
+    """Jitted inference-only forward."""
+
+    @jax.jit
+    def forward(params, batch_stats, images, calibs, grid):
+        return model.apply(
+            {"params": params, "batch_stats": batch_stats},
+            images, calibs, grid, train=False,
+        )
+
+    return forward
