@@ -1,0 +1,64 @@
+"""Compiled-rig voxel sampling must reproduce the reference-semantics jnp
+path exactly (float32)."""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from vfa_tpu.config import mc_opts, wt_opts
+from vfa_tpu.data.synthetic import make_calibrations, tiny_config
+from vfa_tpu.geometry import make_grid
+from vfa_tpu.ops.rig import build_rig, rig_sample_scale
+from vfa_tpu.ops.voxel import sample_voxels, voxel_boxes
+
+
+@pytest.mark.parametrize("cfg", [mc_opts, wt_opts], ids=lambda c: c.name)
+def test_rig_matches_reference_path(cfg, rng):
+    tc = tiny_config(cfg)
+    grid = make_grid(tc.world_size, tc.cube_size[:2], tc.name)
+    calibs = make_calibrations(tc, 2)
+    B, N, C = 2, 2, 8
+    fh, fw = tc.resize_size[0] // 8, tc.resize_size[1] // 8
+
+    rig = build_rig(calibs, tc, grid, [(fh, fw)], tile_v=16,
+                    dtype=jnp.float32)
+    sr = rig.scales[0]
+    nl = sr.nl
+    kernel = jnp.asarray(rng.normal(size=(C * nl, 12)).astype(np.float32))
+    bias = jnp.asarray(rng.normal(size=(12,)).astype(np.float32))
+
+    lat = jnp.asarray(rng.normal(size=(B, N, fh, fw, C)).astype(np.float32))
+    out = rig_sample_scale(lat, sr, kernel, bias)       # (B, N, V2d, 12)
+
+    # reference path: sample_voxels + collapse + relu per (scene, cam)
+    L, W = tc.grid_shape
+    for b in range(B):
+        for n in range(N):
+            boxes = voxel_boxes(
+                jnp.asarray(calibs[n]), jnp.asarray(grid), dataset=tc.name,
+                grid_height=tc.grid_h, cube_size=tc.cube_size,
+                image_size=tc.image_size,
+            )
+            vox = sample_voxels(jnp.transpose(lat[b, n], (2, 0, 1)), boxes)
+            want = jax.nn.relu(vox.reshape(L * W, C * nl) @ kernel + bias)
+            got = out[b, n]
+            np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                                       rtol=2e-3, atol=2e-4)
+
+
+def test_rig_multiscale_shapes():
+    tc = tiny_config(mc_opts)
+    grid = make_grid(tc.world_size, tc.cube_size[:2], tc.name)
+    calibs = make_calibrations(tc, 2)
+    shapes = [(tc.resize_size[0] // s, tc.resize_size[1] // s)
+              for s in (8, 16, 32)]
+    rig = build_rig(calibs, tc, grid, shapes, tile_v=16, dtype=jnp.float32)
+    assert len(rig.scales) == 3
+    L, W = tc.grid_shape
+    for sr, (fh, fw) in zip(rig.scales, shapes):
+        assert sr.inv_perm.shape == (2, L * W)
+        assert sr.A.shape[0] == 2
+        assert sr.A.shape[-1] % 8 == 0
+        assert sr.starts.max() + sr.A.shape[-1] >= 0

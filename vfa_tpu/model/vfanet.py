@@ -112,13 +112,17 @@ class VFANet(nn.Module):
                 3, (3, 3), padding=((1, 1), (1, 1)), use_bias=False, name="thtwtl_pred_3"
             )
 
-    def bev_features(self, images, calibs, grid) -> jnp.ndarray:
+    def bev_features(self, images, calibs, grid, rig=None) -> jnp.ndarray:
         """Images (B, N, H, W, 3) in [0,1] + calibs (B, N, 3, 4) + grid
         (L, W, 3) -> fused BEV ortho features (B, L, W, 256).
 
         The backbone and laterals run once over all B*N camera images; the
         per-(camera, scale) voxel sampling is vmapped and the camera axis is
         reduced with a sum (the psum analog of `vfanet.py:82` when sharded).
+
+        When `rig` (a precompiled CameraRig for the fixed calibrations) is
+        given, sampling runs the gather-free banded-matmul path
+        (vfa_tpu/ops/rig.py) and `calibs` is ignored for sampling.
         """
         B, N = images.shape[0], images.shape[1]
         mean = jnp.asarray(IMAGENET_MEAN, dtype=images.dtype)
@@ -133,6 +137,21 @@ class VFANet(nn.Module):
 
         cfg = self.cfg
         L, W = grid.shape[0], grid.shape[1]
+
+        if rig is not None:
+            from vfa_tpu.ops.rig import rig_sample_scale
+
+            ortho = jnp.zeros((B, L * W, 256), jnp.float32)
+            for sr, lat, kernel, bias in (
+                (rig.scales[0], lat8, self.collapse8_kernel, self.collapse8_bias),
+                (rig.scales[1], lat16, self.collapse16_kernel, self.collapse16_bias),
+                (rig.scales[2], lat32, self.collapse32_kernel, self.collapse32_bias),
+            ):
+                lat5 = lat.reshape(B, N, *lat.shape[1:])
+                contrib = rig_sample_scale(lat5, sr, kernel, bias,
+                                           out_dtype=jnp.float32)
+                ortho = ortho + jnp.sum(contrib, axis=1)
+            return ortho.reshape(B, L, W, 256).astype(lat8.dtype)
 
         def boxes_fn(calib):
             return voxel_boxes(
@@ -185,7 +204,7 @@ class VFANet(nn.Module):
         return ortho
 
     def __call__(
-        self, images, calibs, grid, train: bool = False
+        self, images, calibs, grid, train: bool = False, rig=None
     ) -> Dict[str, Any]:
         """Returns the reference's prediction dict (`vfanet.py:141-149`),
         batched over scenes: heatmap (B, 1, L, W); loc_offset (B, L, W, 2);
@@ -197,7 +216,7 @@ class VFANet(nn.Module):
         if images.ndim == 4:
             images = images[None]
             calibs = calibs[None]
-        ortho = self.bev_features(images, calibs, grid)  # (B, L, W, 256)
+        ortho = self.bev_features(images, calibs, grid, rig=rig)  # (B, L, W, 256)
 
         fused = nn.relu(self.fuse_bn1(self.fuse_conv0(ortho), use_running_average=not train))
         fused = nn.relu(self.fuse_bn4(self.fuse_conv3(fused), use_running_average=not train))
