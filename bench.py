@@ -12,6 +12,7 @@ from __future__ import annotations
 
 import argparse
 import json
+import os
 import sys
 import time
 
@@ -20,7 +21,20 @@ import numpy as np
 BASELINE_SCENES_PER_SEC = 25.0
 
 
+
+def _apply_platform_env():
+    """VFA_TPU_PLATFORM=cpu forces the CPU backend (the sandbox's axon site
+    overrides JAX_PLATFORMS, so an explicit config update is needed)."""
+    import os
+
+    plat = os.environ.get("VFA_TPU_PLATFORM")
+    if plat:
+        import jax
+
+        jax.config.update("jax_platforms", plat)
+
 def main():
+    _apply_platform_env()
     p = argparse.ArgumentParser()
     p.add_argument("--batch", type=int, default=0, help="scenes per step (0 = auto)")
     p.add_argument("--iters", type=int, default=20)
@@ -68,10 +82,13 @@ def main():
 
         g = make_grid(cfg.world_size, cfg.cube_size[:2], cfg.name)
         fh, fw = cfg.resize_size
+        t_rig = time.perf_counter()
         rig = build_rig(rig_calibs, cfg, g,
                         [(fh // 8, fw // 8), (fh // 16, fw // 16),
                          (fh // 32, fw // 32)],
-                        dtype=dtype)
+                        dtype=dtype,
+                        cache_dir=os.path.expanduser("~/.cache/vfa_tpu_rig"))
+        print(f"# rig build: {time.perf_counter() - t_rig:.1f}s", file=sys.stderr)
 
     def make_fn(batch_size):
         scenes = [make_scene(cfg, seed=s, num_objects=6) for s in range(batch_size)]

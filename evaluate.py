@@ -19,6 +19,18 @@ import os
 import numpy as np
 
 
+
+def _apply_platform_env():
+    """VFA_TPU_PLATFORM=cpu forces the CPU backend (the sandbox's axon site
+    overrides JAX_PLATFORMS, so an explicit config update is needed)."""
+    import os
+
+    plat = os.environ.get("VFA_TPU_PLATFORM")
+    if plat:
+        import jax
+
+        jax.config.update("jax_platforms", plat)
+
 def parse_args():
     p = argparse.ArgumentParser()
     p.add_argument("--data", required=True,
@@ -41,6 +53,7 @@ def parse_args():
 
 
 def main():
+    _apply_platform_env()
     args = parse_args()
 
     import dataclasses

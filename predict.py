@@ -16,6 +16,18 @@ import os
 import numpy as np
 
 
+
+def _apply_platform_env():
+    """VFA_TPU_PLATFORM=cpu forces the CPU backend (the sandbox's axon site
+    overrides JAX_PLATFORMS, so an explicit config update is needed)."""
+    import os
+
+    plat = os.environ.get("VFA_TPU_PLATFORM")
+    if plat:
+        import jax
+
+        jax.config.update("jax_platforms", plat)
+
 def parse_args():
     p = argparse.ArgumentParser()
     p.add_argument("--data", required=True,
@@ -31,6 +43,7 @@ def parse_args():
 
 
 def main():
+    _apply_platform_env()
     args = parse_args()
 
     import dataclasses
@@ -89,8 +102,9 @@ def main():
     dets = encoder.batch_decode(pred, args.cls_thresh)
     print(f"{len(dets)} detections above conf {args.cls_thresh}")
     for o in dets[:10]:
-        print("  ", {f: np.round(np.asarray(getattr(o, f)), 2).tolist()
-                     for f in o._fields if getattr(o, f) is not None})
+        print("  ", {f: np.round(np.asarray(getattr(o, f), dtype=np.float64), 2).tolist()
+                     for f in o._fields
+                     if f != "classname" and getattr(o, f) is not None})
 
     heatmap = np.asarray(jax.nn.sigmoid(pred["heatmap"][0, 0]))
     save_prediction_figure(args.out, images, calibs, heatmap, dets, gt_objects, cfg)

@@ -22,6 +22,18 @@ from datetime import datetime
 import numpy as np
 
 
+
+def _apply_platform_env():
+    """VFA_TPU_PLATFORM=cpu forces the CPU backend (the sandbox's axon site
+    overrides JAX_PLATFORMS, so an explicit config update is needed)."""
+    import os
+
+    plat = os.environ.get("VFA_TPU_PLATFORM")
+    if plat:
+        import jax
+
+        jax.config.update("jax_platforms", plat)
+
 def parse_args():
     p = argparse.ArgumentParser()
     p.add_argument("--data", required=True,
@@ -118,6 +130,7 @@ def make_loaders(cfg, args):
 
 
 def main():
+    _apply_platform_env()
     args = parse_args()
     cfg, tcfg = build_config(args)
 

@@ -173,7 +173,7 @@ def decode_frame(
     cy = ((grid_y + tytx[..., 0]) / grid_size[0] * world_size[0]).reshape(-1)
     cx = ((grid_x + tytx[..., 1]) / grid_size[1] * world_size[1]).reshape(-1)
 
-    conf, idx = jax.lax.top_k(conf_map, topk)
+    conf, idx = jax.lax.top_k(conf_map, min(topk, conf_map.shape[0]))
     valid = conf > cls_thresh
     cy = jnp.take(cy, idx)
     cx = jnp.take(cx, idx)

@@ -32,7 +32,6 @@ import jax.numpy as jnp
 import numpy as np
 
 from vfa_tpu.config import DatasetConfig
-from vfa_tpu.ops.voxel import voxel_boxes, voxel_taps
 
 
 @dataclasses.dataclass
@@ -57,6 +56,68 @@ def _round_up(x: int, m: int) -> int:
     return (x + m - 1) // m * m
 
 
+def _np_taps(calib, cfg: DatasetConfig, grid, feat_hw, crange):
+    """Numpy port of voxel_boxes + voxel_taps (host-side, no device round
+    trips): returns idx (nl, V2d, 16) int64 and w (nl, V2d, 16) float64.
+
+    Same math as `ops/voxel.py` (which carries the reference citations); kept
+    in float64 here — the weights are folded into the bf16/f32 A matrices.
+    """
+    from vfa_tpu.ops.voxel import (
+        EPSILON, MAXIMUM_AREA_RATIO, cube_corner_offsets, z_layer_offsets,
+    )
+
+    fh, fw = feat_hw
+    z_off = z_layer_offsets(cfg.grid_h, cfg.cube_size[2]).astype(np.float64)
+    c_off = cube_corner_offsets(cfg.cube_size).astype(np.float64)
+    corners = (grid.astype(np.float64)[None, :, :, None, :]
+               + z_off[:, None, None, None, :] + c_off)
+    if cfg.name == "MultiviewX":
+        corners = corners / 40.0
+    elif cfg.name == "Wildtrack":
+        corners = corners * np.array([2.5, 2.5, 2.5]) + np.array([-300.0, -900.0, 0.0])
+    calib = np.asarray(calib, np.float64)
+    h = corners @ calib[:, :3].T + calib[:, 3]
+    img = h[..., :2] / h[..., 2:3]
+    ih, iw = cfg.image_size
+    norm = np.clip(2.0 * img / np.array([iw, ih]) - 1.0, crange[0], crange[1])
+    boxes = np.stack([
+        norm[..., 0].min(-1), norm[..., 1].min(-1),
+        norm[..., 0].max(-1), norm[..., 1].max(-1),
+    ], axis=-1)                                        # (nl, L, W, 4)
+    nl = boxes.shape[0]
+    V2d = boxes.shape[1] * boxes.shape[2]
+    boxes = boxes.reshape(nl, V2d, 4)
+
+    area = (boxes[..., 2] - boxes[..., 0]) * (boxes[..., 3] - boxes[..., 1])
+    area = area * (fh * fw) + EPSILON
+    visible = (area > EPSILON) & (area < fh * fw * MAXIMUM_AREA_RATIO)
+
+    pts = np.stack([
+        boxes[..., [0, 1]], boxes[..., [2, 3]],
+        boxes[..., [2, 1]], boxes[..., [0, 3]],
+    ], axis=2)                                          # (nl, V2d, 4, 2)
+    signs = np.array([1.0, 1.0, -1.0, -1.0])
+    x = ((pts[..., 0] + 1.0) * fw - 1.0) * 0.5
+    y = ((pts[..., 1] + 1.0) * fh - 1.0) * 0.5
+    x0, y0 = np.floor(x), np.floor(y)
+    wx1, wy1 = x - x0, y - y0
+    tap_idx, tap_w = [], []
+    for dx, dy in ((0, 0), (1, 0), (0, 1), (1, 1)):
+        xi, yi = x0 + dx, y0 + dy
+        wxt = wx1 if dx else 1.0 - wx1
+        wyt = wy1 if dy else 1.0 - wy1
+        inb = (xi >= 0) & (xi <= fw - 1) & (yi >= 0) & (yi <= fh - 1)
+        xi_c = np.clip(xi, 0, fw - 1).astype(np.int64)
+        yi_c = np.clip(yi, 0, fh - 1).astype(np.int64)
+        tap_idx.append(yi_c * fw + xi_c)
+        tap_w.append(wxt * wyt * inb * signs)
+    idx = np.concatenate(tap_idx, axis=-1)
+    w = np.concatenate(tap_w, axis=-1)
+    w = w * (visible / area)[..., None]
+    return idx, w
+
+
 def build_rig(
     calibs: np.ndarray,
     cfg: DatasetConfig,
@@ -65,32 +126,60 @@ def build_rig(
     tile_v: int = 256,
     dtype=jnp.bfloat16,
     crange=(-1.0, 0.95),
+    cache_dir: str | None = None,
 ) -> CameraRig:
-    """Precompute the banded sampling matrices (host, numpy; one-time)."""
+    """Precompute the banded sampling matrices (host, numpy; one-time).
+
+    With `cache_dir`, the built structures are cached to disk keyed by a
+    hash of (calibs, grid, config, shapes) — rebuilds are instant."""
+    import hashlib
+    import os
+
     num_cam = calibs.shape[0]
     L, W = grid.shape[0], grid.shape[1]
     V2d = L * W
+
+    cache_path = None
+    if cache_dir is not None and dtype == jnp.bfloat16:
+        key = hashlib.sha1(
+            np.ascontiguousarray(calibs, np.float64).tobytes()
+            + np.ascontiguousarray(grid, np.float32).tobytes()
+            + repr((cfg.name, cfg.grid_h, tuple(cfg.cube_size),
+                    tuple(cfg.image_size), tuple(feat_shapes), tile_v,
+                    str(dtype), crange)).encode()
+        ).hexdigest()[:16]
+        os.makedirs(cache_dir, exist_ok=True)
+        cache_path = os.path.join(cache_dir, f"rig_{key}.npz")
+        if os.path.exists(cache_path):
+            import ml_dtypes
+
+            z = np.load(cache_path)
+            scales = []
+            for i, (fh, fw) in enumerate(feat_shapes):
+                # A stored as the uint16 bit pattern of its bf16 values
+                a = jnp.asarray(z[f"A{i}"].view(ml_dtypes.bfloat16))
+                scales.append(ScaleRig(
+                    A=a,
+                    starts=jnp.asarray(z[f"s{i}"]),
+                    inv_perm=jnp.asarray(z[f"p{i}"]),
+                    feat_hw=(fh, fw), nl=int(z[f"nl{i}"]), tile_v=tile_v,
+                ))
+            return CameraRig(scales=scales, grid_shape=(L, W))
+
     scales = []
-    for fh, fw in feat_shapes:
+    saved = {}
+    for si, (fh, fw) in enumerate(feat_shapes):
         P = fh * fw
-        per_cam = []
-        for cam in range(num_cam):
-            boxes = voxel_boxes(
-                jnp.asarray(calibs[cam]), jnp.asarray(grid),
-                dataset=cfg.name, grid_height=cfg.grid_h,
-                cube_size=cfg.cube_size, image_size=cfg.image_size,
-                crange=crange,
-            )
-            nl = boxes.shape[0]
-            idx, w = voxel_taps(boxes, (fh, fw))
-            per_cam.append((np.asarray(idx).reshape(nl, V2d, 16),
-                            np.asarray(w).reshape(nl, V2d, 16)))
+        per_cam = [
+            _np_taps(calibs[cam], cfg, np.asarray(grid), (fh, fw), crange)
+            for cam in range(num_cam)
+        ]
         nl = per_cam[0][0].shape[0]
 
         v2d_pad = _round_up(V2d, tile_v)
         n_tiles = v2d_pad // tile_v
 
-        # global band width for this scale: max over cameras & tiles
+        # sort cells by mean visible tap position; band = global max span
         orders, tile_starts_all, band_req = [], [], 0
         for idx, w in per_cam:
             m = np.abs(w) > 0
@@ -102,15 +191,17 @@ def build_rig(
             )
             order = np.argsort(mean_tap, kind="stable")
             orders.append(order)
-            starts = np.zeros(n_tiles, np.int64)
-            for t in range(n_tiles):
-                cells = order[t * tile_v:(t + 1) * tile_v]
-                mm = m[:, cells]
-                if mm.any():
-                    lo = int(idx[:, cells][mm].min())
-                    hi = int(idx[:, cells][mm].max())
-                    starts[t] = lo
-                    band_req = max(band_req, hi - lo + 1)
+            pos = np.empty(V2d, np.int64)
+            pos[order] = np.arange(V2d)
+            t_of_cell = pos // tile_v                      # (V2d,)
+            # per-tile min/max over visible taps, vectorized
+            lo = np.full(n_tiles, np.iinfo(np.int64).max)
+            hi = np.full(n_tiles, -1)
+            t_flat = np.broadcast_to(t_of_cell[None, :, None], idx.shape)[m]
+            np.minimum.at(lo, t_flat, idx[m])
+            np.maximum.at(hi, t_flat, idx[m])
+            starts = np.where(hi >= 0, lo, 0)
+            band_req = max(band_req, int((hi - starts + 1).max()))
             tile_starts_all.append(starts)
         band = _round_up(max(band_req, 8), 8)
 
@@ -119,20 +210,26 @@ def build_rig(
         inv_perm = np.zeros((num_cam, V2d), np.int32)
         for cam, (idx, w) in enumerate(per_cam):
             order = orders[cam]
-            inv = np.empty(V2d, np.int64)
-            inv[order] = np.arange(V2d)
-            inv_perm[cam] = inv
-            for t in range(n_tiles):
-                cells = order[t * tile_v:(t + 1) * tile_v]
-                s = min(int(tile_starts_all[cam][t]), max(P - band, 0))
-                starts_arr[cam, t] = s
-                # rows ordered (layer, cell-in-tile)
-                rel = idx[:, cells] - s                       # (nl, tv, 16)
-                ww = w[:, cells]
-                valid = (rel >= 0) & (rel < band) & (np.abs(ww) > 0)
-                li, vi, ti = np.nonzero(valid)
-                rows = li * tile_v + vi
-                np.add.at(A[cam, t], (rows, rel[valid]), ww[valid])
+            pos = np.empty(V2d, np.int64)
+            pos[order] = np.arange(V2d)
+            inv_perm[cam] = pos
+            s = np.minimum(tile_starts_all[cam], max(P - band, 0))
+            starts_arr[cam] = s
+            # one scatter-add per camera over all valid taps
+            t_of_cell = pos // tile_v
+            vi_of_cell = pos % tile_v
+            li = np.broadcast_to(
+                np.arange(nl)[:, None, None], idx.shape)
+            cell = np.broadcast_to(
+                np.arange(V2d)[None, :, None], idx.shape)
+            rel = idx - s[t_of_cell][None, :, None]
+            valid = (np.abs(w) > 0) & (rel >= 0) & (rel < band)
+            rows = li * tile_v + vi_of_cell[cell]
+            np.add.at(
+                A[cam],
+                (t_of_cell[cell][valid], rows[valid], rel[valid]),
+                w[valid],
+            )
         scales.append(ScaleRig(
             A=jnp.asarray(A, dtype),
             starts=jnp.asarray(starts_arr),
@@ -141,6 +238,16 @@ def build_rig(
             nl=nl,
             tile_v=tile_v,
         ))
+        if cache_path:
+            import ml_dtypes
+
+            # store the bf16 bit pattern (npz has no native bf16)
+            saved[f"A{si}"] = A.astype(ml_dtypes.bfloat16).view(np.uint16)
+            saved[f"s{si}"] = starts_arr
+            saved[f"p{si}"] = inv_perm
+            saved[f"nl{si}"] = nl
+    if cache_path:
+        np.savez(cache_path, **saved)  # uncompressed: A is ~4 GB, zlib is slow
     return CameraRig(scales=scales, grid_shape=(L, W))
 
 
