@@ -65,7 +65,7 @@ def main():
     from vfa_tpu.codec import decode_frame
     from vfa_tpu.config import TrainConfig, mc_opts
     from vfa_tpu.data.synthetic import make_calibrations, make_scene
-    from vfa_tpu.ops.rig import build_rig
+    from vfa_tpu.ops.rig import build_rig, pyramid_feat_shapes
     from vfa_tpu.train_lib import create_model
 
     cfg = mc_opts
@@ -81,11 +81,9 @@ def main():
         from vfa_tpu.geometry import make_grid
 
         g = make_grid(cfg.world_size, cfg.cube_size[:2], cfg.name)
-        fh, fw = cfg.resize_size
         t_rig = time.perf_counter()
         rig = build_rig(rig_calibs, cfg, g,
-                        [(fh // 8, fw // 8), (fh // 16, fw // 16),
-                         (fh // 32, fw // 32)],
+                        pyramid_feat_shapes(cfg.resize_size),
                         dtype=dtype,
                         cache_dir=os.path.expanduser("~/.cache/vfa_tpu_rig"))
         print(f"# rig build: {time.perf_counter() - t_rig:.1f}s", file=sys.stderr)

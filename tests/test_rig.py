@@ -10,7 +10,7 @@ import jax.numpy as jnp
 from vfa_tpu.config import mc_opts, wt_opts
 from vfa_tpu.data.synthetic import make_calibrations, tiny_config
 from vfa_tpu.geometry import make_grid
-from vfa_tpu.ops.rig import build_rig, rig_sample_scale
+from vfa_tpu.ops.rig import build_rig, pyramid_feat_shapes, rig_sample_scale
 from vfa_tpu.ops.voxel import sample_voxels, voxel_boxes
 
 
@@ -62,3 +62,47 @@ def test_rig_multiscale_shapes():
         assert sr.A.shape[0] == 2
         assert sr.A.shape[-1] % 8 == 0
         assert sr.starts.max() + sr.A.shape[-1] >= 0
+
+
+def test_train_step_with_rig_matches_reference_path(rng):
+    """A full train step through the rig path must match the dynamic path
+    (same grads, same loss) in float32."""
+    import jax
+
+    from vfa_tpu.config import TrainConfig, mc_opts
+    from vfa_tpu.data.synthetic import make_scene, tiny_config
+    from vfa_tpu.train_lib import create_model, init_state, make_train_step
+    from vfa_tpu.utils import pad_objects
+
+    tc = tiny_config(mc_opts)
+    tcfg = TrainConfig(epochs=4, lr=1e-3, pretrained=False,
+                       scheduler_step_per_epoch=False)
+    model = create_model(tc, tcfg)
+    scenes = [make_scene(tc, seed=s, num_objects=3) for s in range(2)]
+    objs = [pad_objects(s.objects, 8, "3D") for s in scenes]
+    batch = {
+        "images": jnp.stack([s.images for s in scenes]),
+        "calibs": jnp.stack([s.calibs for s in scenes]),
+        "grid": jnp.asarray(scenes[0].grid),
+        "heatmap": jnp.stack([s.heatmap for s in scenes]),
+        "location": jnp.stack([o["location"] for o in objs]),
+        "valid": jnp.stack([o["valid"] for o in objs]),
+        "dimension": jnp.stack([o["dimension"] for o in objs]),
+        "rotation": jnp.stack([o["rotation"] for o in objs]),
+    }
+    state, tx = init_state(model, tc, tcfg, jax.random.PRNGKey(0), 2, batch)
+    dim_mean = np.array([145.0, 120.0, 255.0], np.float32)
+    step = make_train_step(model, tx, tc, tcfg, dim_mean=dim_mean)
+
+    rig = build_rig(scenes[0].calibs, tc,
+                    make_grid(tc.world_size, tc.cube_size[:2], tc.name),
+                    pyramid_feat_shapes(tc.resize_size),
+                    tile_v=16, dtype=jnp.float32)
+
+    s_ref, ld_ref = step(state, batch)
+    s_rig, ld_rig = step(state, batch, rig)
+    assert float(ld_rig["loss"]) == pytest.approx(float(ld_ref["loss"]), rel=1e-4)
+    for a, b in zip(jax.tree_util.tree_leaves(s_ref.params),
+                    jax.tree_util.tree_leaves(s_rig.params)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=5e-3,
+                                   atol=1e-5)

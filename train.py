@@ -68,6 +68,10 @@ def parse_args():
     p.add_argument("--synthetic_frames", type=int, default=16)
     p.add_argument("--tiny", action="store_true",
                    help="shrink world/images for smoke runs")
+    p.add_argument("--profile_steps", type=int, default=0,
+                   help="capture a jax.profiler trace at this global step")
+    p.add_argument("--debug_nans", action="store_true",
+                   help="fail fast on NaNs in jitted computations")
     return p.parse_args()
 
 
@@ -142,7 +146,12 @@ def main():
     from vfa_tpu.train_lib import (
         create_model, current_lr, init_state, make_eval_step, make_train_step,
     )
-    from vfa_tpu.utils import MetricDict, record
+    from vfa_tpu.utils import MetricDict
+
+    if args.debug_nans:
+        from vfa_tpu.observability import enable_nan_debugging
+
+        enable_nan_debugging()
 
     np.random.seed(tcfg.seed)
 
@@ -180,16 +189,28 @@ def main():
 
     train_step = make_train_step(model, tx, cfg, tcfg, dim_mean=dim_mean)
     eval_step = make_eval_step(model, cfg, dim_mean=dim_mean)
-    log_path = os.path.join(savedir, "metrics.jsonl")
 
+    from vfa_tpu.observability import MetricsWriter, profile_trace
+
+    writer = MetricsWriter(savedir)
+    writer.text("config", json.dumps(
+        {"dataset": dataclasses.asdict(cfg), "train": dataclasses.asdict(tcfg)},
+        indent=2, default=str))
+
+    global_it = 0
     for epoch in range(start_epoch, tcfg.epochs + 1):
         t0 = time.time()
         epoch_loss = MetricDict()
         for i, batch in enumerate(train_loader):
             jb = {k: jnp.asarray(v) for k, v in batch.items()
                   if k not in ("objects", "index", "frame")}
-            state, loss_dict = train_step(state, jb)
+            tracing = args.profile_steps and global_it == args.profile_steps
+            with profile_trace(os.path.join(savedir, "profile") if tracing else None):
+                state, loss_dict = train_step(state, jb)
+                if tracing:
+                    jax.block_until_ready(loss_dict)
             epoch_loss += {k: float(v) for k, v in loss_dict.items()}
+            global_it += 1
             if i % tcfg.print_iter == 0:
                 m = epoch_loss.mean
                 print(f"[TRAIN] epoch {epoch}/{tcfg.epochs} it {i+1}/{steps_per_epoch} "
@@ -198,18 +219,24 @@ def main():
         train_mean = epoch_loss.mean
 
         val_loss = MetricDict()
+        last_pred = None
         for batch in val_loader:
             jb = {k: jnp.asarray(v) for k, v in batch.items()
                   if k not in ("objects", "index", "frame")}
-            loss_dict, _ = eval_step(state, jb)
+            loss_dict, last_pred = eval_step(state, jb)
             val_loss += {k: float(v) for k, v in loss_dict.items()}
         val_mean = val_loss.mean
         lr = current_lr(tcfg, steps_per_epoch, int(state.step) - 1)
-        rec = {"epoch": epoch, "lr": lr, "seconds": round(time.time() - t0, 2),
-               "train": train_mean, "val": val_mean}
         print(f"[VAL] epoch {epoch}: train {train_mean.get('loss', 0):.5f} "
               f"val {val_mean.get('loss', 0):.5f} lr {lr:.5f}")
-        record(log_path, json.dumps(rec) + "\n")
+        writer.scalars("train", train_mean, epoch)
+        writer.scalars("val", val_mean, epoch)
+        writer.scalars("opt", {"lr": lr, "epoch_seconds": time.time() - t0}, epoch)
+        if last_pred is not None:
+            from vfa_tpu.visualization.figure import heatmap_figure
+
+            hm = np.asarray(jax.nn.sigmoid(last_pred["heatmap"][0, 0]))
+            writer.figure("val/heatmap", heatmap_figure(hm), epoch)
 
         if epoch % 5 == 0 or epoch == tcfg.epochs:
             path = save_checkpoint(os.path.join(savedir, "checkpoints"),
@@ -217,6 +244,7 @@ def main():
                                    extra={"dim_mean": None if dim_mean is None
                                           else np.asarray(dim_mean).tolist()})
             print(f"saved checkpoint {path}")
+    writer.close()
 
 
 if __name__ == "__main__":

@@ -56,6 +56,21 @@ def _round_up(x: int, m: int) -> int:
     return (x + m - 1) // m * m
 
 
+def pyramid_feat_shapes(resize_size) -> List[Tuple[int, int]]:
+    """Feature-map (h, w) at strides 8/16/32 for the ResNet-GN backbone.
+
+    Each downsampling stage (conv7/s2/p3, maxpool3/s2/p1, two conv3/s2/p1)
+    computes ceil(x/2), so odd inputs do NOT equal x // stride."""
+    def c(x):
+        return (x + 1) // 2
+
+    h, w = resize_size
+    h8, w8 = c(c(c(h))), c(c(c(w)))
+    h16, w16 = c(h8), c(w8)
+    h32, w32 = c(h16), c(w16)
+    return [(h8, w8), (h16, w16), (h32, w32)]
+
+
 def _np_taps(calib, cfg: DatasetConfig, grid, feat_hw, crange):
     """Numpy port of voxel_boxes + voxel_taps (host-side, no device round
     trips): returns idx (nl, V2d, 16) int64 and w (nl, V2d, 16) float64.

@@ -187,21 +187,23 @@ def encode_targets(batch: Dict[str, jnp.ndarray], cfg: DatasetConfig,
 
 def make_train_step(model: VFANet, tx, cfg: DatasetConfig, tcfg: TrainConfig,
                     dim_mean=None):
-    """Returns jitted (state, batch) -> (state, loss_dict).
+    """Returns jitted (state, batch[, rig]) -> (state, loss_dict).
 
     batch: images (B, N, H, W, 3), calibs (B, N, 3, 4), grid (L, W, 3),
     heatmap (B, L, W), location (B, M, 3), valid (B, M), and for 3D
-    dimension (B, M, 3), rotation (B, M).
+    dimension (B, M, 3), rotation (B, M). `rig` (optional CameraRig) routes
+    the forward through the compiled-rig sampling path; its arrays are
+    non-differentiated inputs.
     """
     loss_fn3 = functools.partial(compute_loss3d, loss_weight=cfg.loss_weight)
     loss_fn2 = functools.partial(compute_loss2d, loss_weight=cfg.loss_weight)
     dim_mean = None if dim_mean is None else jnp.asarray(dim_mean)
 
-    def loss_fn(params, batch_stats, batch):
+    def loss_fn(params, batch_stats, batch, rig):
         pred, updates = model.apply(
             {"params": params, "batch_stats": batch_stats},
             batch["images"], batch["calibs"], batch["grid"],
-            train=True, mutable=["batch_stats"],
+            train=True, rig=rig, mutable=["batch_stats"],
         )
         gt = encode_targets(batch, cfg, dim_mean, model.angle_range)
         if cfg.mode == "3D":
@@ -211,9 +213,10 @@ def make_train_step(model: VFANet, tx, cfg: DatasetConfig, tcfg: TrainConfig,
         return loss, (loss_dict, updates["batch_stats"])
 
     @jax.jit
-    def train_step(state: TrainState, batch):
+    def train_step(state: TrainState, batch, rig=None):
         grad_fn = jax.value_and_grad(loss_fn, has_aux=True)
-        (_, (loss_dict, new_bs)), grads = grad_fn(state.params, state.batch_stats, batch)
+        (_, (loss_dict, new_bs)), grads = grad_fn(
+            state.params, state.batch_stats, batch, rig)
         updates, new_opt = tx.update(grads, state.opt_state, state.params)
         new_params = optax.apply_updates(state.params, updates)
         new_state = TrainState(
@@ -230,10 +233,11 @@ def make_eval_step(model: VFANet, cfg: DatasetConfig, dim_mean=None):
     dim_mean = None if dim_mean is None else jnp.asarray(dim_mean)
 
     @jax.jit
-    def eval_step(state: TrainState, batch):
+    def eval_step(state: TrainState, batch, rig=None):
         pred = model.apply(
             {"params": state.params, "batch_stats": state.batch_stats},
             batch["images"], batch["calibs"], batch["grid"], train=False,
+            rig=rig,
         )
         gt = encode_targets(batch, cfg, dim_mean, model.angle_range)
         if cfg.mode == "3D":
@@ -249,10 +253,10 @@ def make_forward(model: VFANet):
     """Jitted inference-only forward."""
 
     @jax.jit
-    def forward(params, batch_stats, images, calibs, grid):
+    def forward(params, batch_stats, images, calibs, grid, rig=None):
         return model.apply(
             {"params": params, "batch_stats": batch_stats},
-            images, calibs, grid, train=False,
+            images, calibs, grid, train=False, rig=rig,
         )
 
     return forward
