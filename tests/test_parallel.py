@@ -84,3 +84,34 @@ def test_data_only_mesh_inference():
     pred = fwd(variables, sb["images"], sb["calibs"], sb["grid"])
     assert pred["heatmap"].shape[0] == 8
     assert np.isfinite(np.asarray(pred["heatmap"])).all()
+
+
+def test_camera_psum_bev_matches_unsharded(rng):
+    from vfa_tpu.geometry import make_grid
+    from vfa_tpu.ops.voxel import sample_voxels, voxel_boxes
+    from vfa_tpu.parallel import camera_psum_bev
+
+    tc = tiny_config(mc_opts)
+    grid = jnp.asarray(make_grid(tc.world_size, tc.cube_size[:2], tc.name))
+    from vfa_tpu.data.synthetic import make_calibrations
+
+    calibs = make_calibrations(tc, 4)
+    C, fh, fw = 8, tc.resize_size[0] // 8, tc.resize_size[1] // 8
+    lats = jnp.asarray(rng.normal(size=(4, C, fh, fw)).astype(np.float32))
+    boxes = jax.vmap(lambda c: voxel_boxes(
+        c, grid, dataset=tc.name, grid_height=tc.grid_h,
+        cube_size=tc.cube_size, image_size=tc.image_size,
+    ))(jnp.asarray(calibs))
+    nl = boxes.shape[1]
+    kernel = jnp.asarray(rng.normal(size=(C * nl, 12)).astype(np.float32))
+    bias = jnp.asarray(rng.normal(size=(12,)).astype(np.float32))
+
+    want = 0
+    for n in range(4):
+        vox = sample_voxels(lats[n], boxes[n])
+        want = want + jax.nn.relu(vox @ kernel + bias)
+
+    mesh = make_mesh(data=2, cam=4)
+    got = camera_psum_bev(mesh, lats, boxes, kernel, bias)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               rtol=1e-4, atol=1e-5)

@@ -58,6 +58,42 @@ def replicate(tree, mesh: Mesh):
     return jax.device_put(tree, rep)
 
 
+def camera_psum_bev(mesh: Mesh, lats, boxes, collapse_kernel, collapse_bias):
+    """Explicit camera-parallel BEV aggregation via shard_map + psum.
+
+    The per-camera BEV sum (`vfa/model/vfanet.py:82` in the reference's
+    sequential loop) IS an all-reduce over the camera axis. This computes it
+    with cameras sharded over the mesh's 'cam' axis and an explicit
+    `jax.lax.psum` riding ICI — the hand-written equivalent of what GSPMD
+    derives from the sharding annotations in `shard_train_step` (kept as a
+    reference implementation and exercised by tests on a CPU mesh).
+
+    lats: (N, C, fh, fw) per-camera features; boxes: (N, nl, L, W, 4);
+    collapse_kernel: (C*nl, O). Returns (L, W, O) = sum over cameras of
+    relu(collapse(sample_voxels(lat, boxes))).
+    """
+    import jax.numpy as jnp
+    from jax.experimental.shard_map import shard_map
+    from jax.sharding import PartitionSpec
+
+    from vfa_tpu.ops.voxel import sample_voxels
+
+    def local(lat_l, boxes_l):
+        def one(lat_c, boxes_c):
+            vox = sample_voxels(lat_c, boxes_c)
+            return jax.nn.relu(vox @ collapse_kernel + collapse_bias)
+
+        contrib = jnp.sum(jax.vmap(one)(lat_l, boxes_l), axis=0)
+        return jax.lax.psum(contrib, "cam")
+
+    f = shard_map(
+        local, mesh=mesh,
+        in_specs=(PartitionSpec("cam"), PartitionSpec("cam")),
+        out_specs=PartitionSpec(),
+    )
+    return f(lats, boxes)
+
+
 def shard_train_step(train_step, mesh: Mesh):
     """Wrap a jitted train step so its batch inputs carry mesh shardings.
 
