@@ -120,7 +120,7 @@ def main():
         # the axon relay's block_until_ready is a no-op; force a host read
         return float(jnp.sum(out["conf"]))
 
-    batch_sizes = [args.batch] if args.batch else [8, 4, 2, 1]
+    batch_sizes = [args.batch] if args.batch else [16, 8, 4, 2, 1]
     for bs in batch_sizes:
         try:
             jfn, fargs = make_fn(bs)

@@ -26,10 +26,11 @@ from vfa_tpu.utils import pad_objects
 
 class FrameDataset:
     def __init__(self, base, cfg: DatasetConfig, split: str = "train",
-                 train_ratio: float = 0.9):
+                 train_ratio: float = 0.9, image_backend: str = "auto"):
         assert split in ("train", "val"), "split mode error"
         self.base = base
         self.cfg = cfg
+        self.image_backend = image_backend
         self.num_cam = base.num_cam
         n = base.num_frame
         if split == "train":
@@ -58,18 +59,19 @@ class FrameDataset:
         return len(self.frame_range)
 
     def load_images(self, index: int) -> np.ndarray:
-        """(N, H, W, 3) float32 in [0, 1], resized to cfg.resize_size."""
-        from PIL import Image
+        """(N, H, W, 3) float32 in [0, 1], resized to cfg.resize_size.
+
+        Decoding goes through vfa_tpu.native.imageio: PIL by default
+        (reference-pipeline parity) or the C++ libjpeg/libpng loader
+        (GIL-free, multi-core) with image_backend='native'."""
+        from vfa_tpu.native.imageio import load_image
 
         frame = list(self.frame_range)[index]
-        h, w = self.cfg.resize_size
-        imgs = []
-        for cam in range(1, self.num_cam + 1):
-            img = Image.open(self.fpaths[cam][frame]).convert("RGB")
-            if img.size != (w, h):
-                img = img.resize((w, h), Image.BILINEAR)
-            imgs.append(np.asarray(img, np.float32) / 255.0)
-        return np.stack(imgs)
+        return np.stack([
+            load_image(self.fpaths[cam][frame], self.cfg.resize_size,
+                       self.image_backend)
+            for cam in range(1, self.num_cam + 1)
+        ])
 
     def __getitem__(self, index: int) -> Dict[str, np.ndarray]:
         return {
