@@ -72,6 +72,9 @@ def parse_args():
                    help="capture a jax.profiler trace at this global step")
     p.add_argument("--debug_nans", action="store_true",
                    help="fail fast on NaNs in jitted computations")
+    p.add_argument("--rig", action="store_true",
+                   help="train through the compiled-rig sampling path "
+                        "(fixed calibrations)")
     return p.parse_args()
 
 
@@ -187,6 +190,19 @@ def main():
             start_epoch = ep + 1
             print(f"resumed from {ckpt} at epoch {start_epoch}")
 
+    rig = None
+    if args.rig:
+        from vfa_tpu.geometry import make_grid
+        from vfa_tpu.ops.rig import build_rig, pyramid_feat_shapes
+
+        rig = build_rig(
+            np.asarray(sample["calibs"][0]), cfg,
+            make_grid(cfg.world_size, cfg.cube_size[:2], cfg.name),
+            pyramid_feat_shapes(cfg.resize_size),
+            cache_dir=os.path.expanduser("~/.cache/vfa_tpu_rig"),
+        )
+        print("compiled-rig sampling enabled")
+
     train_step = make_train_step(model, tx, cfg, tcfg, dim_mean=dim_mean)
     eval_step = make_eval_step(model, cfg, dim_mean=dim_mean)
 
@@ -206,7 +222,7 @@ def main():
                   if k not in ("objects", "index", "frame")}
             tracing = args.profile_steps and global_it == args.profile_steps
             with profile_trace(os.path.join(savedir, "profile") if tracing else None):
-                state, loss_dict = train_step(state, jb)
+                state, loss_dict = train_step(state, jb, rig)
                 if tracing:
                     jax.block_until_ready(loss_dict)
             epoch_loss += {k: float(v) for k, v in loss_dict.items()}
@@ -223,7 +239,7 @@ def main():
         for batch in val_loader:
             jb = {k: jnp.asarray(v) for k, v in batch.items()
                   if k not in ("objects", "index", "frame")}
-            loss_dict, last_pred = eval_step(state, jb)
+            loss_dict, last_pred = eval_step(state, jb, rig)
             val_loss += {k: float(v) for k, v in loss_dict.items()}
         val_mean = val_loss.mean
         lr = current_lr(tcfg, steps_per_epoch, int(state.step) - 1)
