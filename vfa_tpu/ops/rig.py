@@ -299,10 +299,7 @@ def rig_sample_scale(lat, rig: ScaleRig, collapse_kernel, collapse_bias,
 
     # collapse kernel regrouped per layer: K[c*nl+l, o] -> Kr[l, c, o]
     Kr = collapse_kernel.reshape(C, nl, -1).transpose(1, 0, 2)
-    # collapse inputs in the lat dtype (bf16 on TPU) with fp32 accumulation:
-    # full MXU rate, negligible precision cost (verified by the fp32 rig
-    # parity test, which keeps everything in fp32)
-    Kr = Kr.astype(lat.dtype)
+    Kr = Kr.astype(jnp.float32)
 
     def tile_body(carry, xs):
         a_t, s_t = xs                                  # (N, nl*tv, band), (N,)
@@ -315,7 +312,7 @@ def rig_sample_scale(lat, rig: ScaleRig, collapse_kernel, collapse_bias,
                 dimension_numbers=(((1,), (1,)), ((), ())),
                 preferred_element_type=jnp.float32,
             )                                          # (B, C, nl*tv)
-            vox = vox.reshape(B, C, nl, tile_v).astype(lat.dtype)
+            vox = vox.reshape(B, C, nl, tile_v)
             out = jnp.einsum(
                 "bclv,lco->bvo", vox, Kr,
                 preferred_element_type=jnp.float32,
