@@ -44,6 +44,9 @@ def main():
     p.add_argument("--no-rig", action="store_true",
                    help="use the dynamic-calibration gather path instead of "
                         "the compiled-rig banded-matmul path")
+    p.add_argument("--rig_impl", type=str, default="pallas",
+                   choices=["pallas", "xla"],
+                   help="rig sampling backend (pallas: fused kernel)")
     args = p.parse_args()
 
     import jax
@@ -70,7 +73,8 @@ def main():
 
     cfg = mc_opts
     tcfg = TrainConfig(pretrained=False, compute_dtype=args.dtype)
-    model = create_model(cfg, tcfg)
+    rig_impl = "xla" if args.no_rig else args.rig_impl
+    model = create_model(cfg, tcfg, rig_impl=rig_impl)
     dtype = jnp.bfloat16 if args.dtype == "bfloat16" else jnp.float32
 
     dim_mean = jnp.asarray([145.0, 120.0, 255.0])
@@ -82,9 +86,11 @@ def main():
 
         g = make_grid(cfg.world_size, cfg.cube_size[:2], cfg.name)
         t_rig = time.perf_counter()
+        # the fused Pallas kernel needs smaller A tiles to fit VMEM
+        tile_v = 128 if rig_impl == "pallas" else 256
         rig = build_rig(rig_calibs, cfg, g,
                         pyramid_feat_shapes(cfg.resize_size),
-                        dtype=dtype,
+                        tile_v=tile_v, dtype=dtype,
                         cache_dir=os.path.expanduser("~/.cache/vfa_tpu_rig"))
         print(f"# rig build: {time.perf_counter() - t_rig:.1f}s", file=sys.stderr)
 

@@ -106,3 +106,27 @@ def test_train_step_with_rig_matches_reference_path(rng):
                     jax.tree_util.tree_leaves(s_rig.params)):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=5e-3,
                                    atol=1e-5)
+
+
+def test_pallas_rig_matches_xla_rig_interpret(rng):
+    """The fused Pallas kernel (interpret mode on CPU) must match the XLA
+    scan formulation exactly."""
+    from vfa_tpu.ops.rig import pyramid_feat_shapes
+    from vfa_tpu.ops.rig_pallas import rig_sample_scale_pallas
+
+    tc = tiny_config(mc_opts)
+    grid = make_grid(tc.world_size, tc.cube_size[:2], tc.name)
+    calibs = make_calibrations(tc, 2)
+    shapes = pyramid_feat_shapes(tc.resize_size)
+    rig = build_rig(calibs, tc, grid, shapes[:1], tile_v=16, dtype=jnp.float32)
+    sr = rig.scales[0]
+    B, N, C = 2, 2, 8
+    fh, fw = shapes[0]
+    lat = jnp.asarray(rng.normal(size=(B, N, fh, fw, C)).astype(np.float32))
+    k = jnp.asarray(rng.normal(size=(C * sr.nl, 12)).astype(np.float32))
+    b = jnp.asarray(rng.normal(size=(12,)).astype(np.float32))
+
+    ref = rig_sample_scale(lat, sr, k, b)
+    got = rig_sample_scale_pallas(lat, sr, k, b, interpret=True)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                               rtol=1e-4, atol=1e-5)

@@ -55,6 +55,9 @@ class VFANet(nn.Module):
     angle_range: int = 360
     crange: Tuple[float, float] = (-1.0, 0.95)
     camera_reduce: str = "scan"
+    # rig sampling backend: 'xla' (lax.scan of banded matmuls) or 'pallas'
+    # (fused DMA+matmul+collapse kernel, ~10% faster; needs tile_v<=128)
+    rig_impl: str = "xla"
 
     def setup(self):
         if self.base not in RESNET_LAYERS:
@@ -139,7 +142,12 @@ class VFANet(nn.Module):
         L, W = grid.shape[0], grid.shape[1]
 
         if rig is not None:
-            from vfa_tpu.ops.rig import rig_sample_scale
+            if self.rig_impl == "pallas":
+                from vfa_tpu.ops.rig_pallas import (
+                    rig_sample_scale_pallas as rig_sample_scale,
+                )
+            else:
+                from vfa_tpu.ops.rig import rig_sample_scale
 
             ortho = jnp.zeros((B, L * W, 256), jnp.float32)
             for sr, lat, kernel, bias in (

@@ -161,7 +161,7 @@ def build_rig(
             + np.ascontiguousarray(grid, np.float32).tobytes()
             + repr((cfg.name, cfg.grid_h, tuple(cfg.cube_size),
                     tuple(cfg.image_size), tuple(feat_shapes), tile_v,
-                    str(dtype), crange)).encode()
+                    str(dtype), crange, 'align8')).encode()
         ).hexdigest()[:16]
         os.makedirs(cache_dir, exist_ok=True)
         cache_path = os.path.join(cache_dir, f"rig_{key}.npz")
@@ -215,7 +215,9 @@ def build_rig(
             t_flat = np.broadcast_to(t_of_cell[None, :, None], idx.shape)[m]
             np.minimum.at(lo, t_flat, idx[m])
             np.maximum.at(hi, t_flat, idx[m])
-            starts = np.where(hi >= 0, lo, 0)
+            # starts aligned down to 8: Mosaic DMA slices require the start
+            # index to be a multiple of the (8, 128) tiling
+            starts = np.where(hi >= 0, (lo // 8) * 8, 0)
             band_req = max(band_req, int((hi - starts + 1).max()))
             tile_starts_all.append(starts)
         band = _round_up(max(band_req, 8), 8)
@@ -228,7 +230,9 @@ def build_rig(
             pos = np.empty(V2d, np.int64)
             pos[order] = np.arange(V2d)
             inv_perm[cam] = pos
-            s = np.minimum(tile_starts_all[cam], max(P - band, 0))
+            # no clamping needed: II is padded by `band` rows at apply time,
+            # so any start <= P-1 slices safely
+            s = tile_starts_all[cam]
             starts_arr[cam] = s
             # one scatter-add per camera over all valid taps
             t_of_cell = pos // tile_v

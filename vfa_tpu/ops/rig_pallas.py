@@ -1,0 +1,133 @@
+"""Fused Pallas kernel for compiled-rig voxel sampling.
+
+One kernel fuses, per (camera, BEV-cell tile, scene):
+    DMA II[start : start+band] HBM -> VMEM        (async, double-buffered
+                                                   across the scene axis)
+    vox   = A_tile @ II_band                      (MXU, bf16 -> fp32)
+    bev   = sum_l vox[l] @ K_l                    (MXU, the collapse
+                                                   Linear(C*nl -> 256) of
+                                                   `vfa/model/vfa_op.py:59`)
+and writes the per-tile BEV block. Versus the XLA scan formulation
+(ops/rig.py), the band slice is never materialized in HBM and the collapse
+runs on the tile while it is still in VMEM.
+
+The XLA path remains the default fallback; numerics match it exactly (the
+same A / starts / collapse weights — tested in fp32 on CPU interpret mode
+and on device).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from vfa_tpu.ops.rig import ScaleRig
+
+
+def _kernel(starts_ref, ii_hbm, a_ref, kr_ref, out_ref,
+            band_buf, sem, *, nl, tile_v, band, C, n_out):
+    n = pl.program_id(0)
+    t = pl.program_id(1)
+    b = pl.program_id(2)
+    n_b = pl.num_programs(2)
+
+    start = pl.multiple_of(starts_ref[n * pl.num_programs(1) + t], 8)
+
+    def dma(slot, b_idx):
+        return pltpu.make_async_copy(
+            ii_hbm.at[n, b_idx, pl.ds(start, band), :],
+            band_buf.at[slot],
+            sem.at[slot],
+        )
+
+    # double-buffer the band DMA across the scene axis (innermost grid dim)
+    @pl.when(b == 0)
+    def _():
+        dma(0, b).start()
+
+    @pl.when(b + 1 < n_b)
+    def _():
+        dma((b + 1) % 2, b + 1).start()
+
+    dma(b % 2, b).wait()
+
+    vox = jax.lax.dot_general(
+        a_ref[0, 0], band_buf[b % 2],
+        dimension_numbers=(((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )                                              # (nl*tv, C)
+    vox = vox.astype(kr_ref.dtype).reshape(nl, tile_v, C)
+    acc = jnp.zeros((tile_v, n_out), jnp.float32)
+    for l in range(nl):
+        acc = acc + jax.lax.dot_general(
+            vox[l], kr_ref[l],
+            dimension_numbers=(((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+    out_ref[0, 0, 0] = acc
+
+
+def rig_sample_scale_pallas(lat, rig: ScaleRig, collapse_kernel, collapse_bias,
+                            out_dtype=None, interpret=False):
+    """Drop-in replacement for `ops.rig.rig_sample_scale` running the fused
+    Pallas kernel. Same contract: lat (B, N, fh, fw, C) ->
+    (B, N, V2d, n_out) with relu(collapse(vox)) un-permuted to BEV order."""
+    B, N, fh, fw, C = lat.shape
+    P = fh * fw
+    nl, tile_v = rig.nl, rig.tile_v
+    band = rig.A.shape[-1]
+    T = rig.A.shape[1]
+    n_out = collapse_kernel.shape[-1]
+    out_dtype = out_dtype or lat.dtype
+
+    ii = jnp.cumsum(jnp.cumsum(lat, axis=3), axis=2).reshape(B, N, P, C)
+    ii = jnp.swapaxes(ii, 0, 1)                        # (N, B, P, C)
+    ii = jnp.pad(ii, ((0, 0), (0, 0), (0, band), (0, 0)))
+
+    # collapse kernel regrouped per layer: K[c*nl+l, o] -> Kr[l, c, o]
+    Kr = collapse_kernel.reshape(C, nl, n_out).transpose(1, 0, 2)
+    Kr = Kr.astype(lat.dtype)
+    starts = rig.starts.reshape(-1).astype(jnp.int32)  # (N*T,)
+
+    kernel = functools.partial(
+        _kernel, nl=nl, tile_v=tile_v, band=band, C=C, n_out=n_out)
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(N, T, B),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.ANY),           # ii (HBM)
+            pl.BlockSpec((1, 1, nl * tile_v, band),
+                         lambda n, t, b, *_: (n, t, 0, 0),
+                         memory_space=pltpu.VMEM),          # A tile
+            pl.BlockSpec(memory_space=pltpu.VMEM),          # Kr
+        ],
+        out_specs=pl.BlockSpec(
+            (1, 1, 1, tile_v, n_out), lambda n, t, b, *_: (n, t, b, 0, 0),
+            memory_space=pltpu.VMEM),
+        scratch_shapes=[
+            pltpu.VMEM((2, band, C), lat.dtype),
+            pltpu.SemaphoreType.DMA((2,)),
+        ],
+    )
+
+    tiles = pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((N, T, B, tile_v, n_out), jnp.float32),
+        interpret=interpret,
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "arbitrary", "arbitrary"),
+        ),
+    )(starts, ii, rig.A, Kr)
+
+    out = jnp.transpose(tiles, (0, 2, 1, 3, 4)).reshape(N, B, T * tile_v, n_out)
+    out = jax.nn.relu(out + collapse_bias.astype(jnp.float32))
+    out = jax.vmap(lambda o_n, p_n: jnp.take(o_n, p_n, axis=1))(
+        out, rig.inv_perm
+    )                                                   # (N, B, V2d, n_out)
+    return jnp.swapaxes(out, 0, 1).astype(out_dtype)
