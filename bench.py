@@ -87,7 +87,7 @@ def main():
         g = make_grid(cfg.world_size, cfg.cube_size[:2], cfg.name)
         t_rig = time.perf_counter()
         # the fused Pallas kernel needs smaller A tiles to fit VMEM
-        tile_v = 128 if rig_impl == "pallas" else 256
+        tile_v = 160 if rig_impl == "pallas" else 256
         rig = build_rig(rig_calibs, cfg, g,
                         pyramid_feat_shapes(cfg.resize_size),
                         tile_v=tile_v, dtype=dtype,

@@ -75,7 +75,11 @@ def rig_sample_scale_pallas(lat, rig: ScaleRig, collapse_kernel, collapse_bias,
                             out_dtype=None, interpret=False):
     """Drop-in replacement for `ops.rig.rig_sample_scale` running the fused
     Pallas kernel. Same contract: lat (B, N, fh, fw, C) ->
-    (B, N, V2d, n_out) with relu(collapse(vox)) un-permuted to BEV order."""
+    (B, N, V2d, n_out) with relu(collapse(vox)) un-permuted to BEV order.
+
+    Inference-only: the kernel has no VJP (training goes through the XLA
+    formulation, which XLA differentiates as transposed matmuls). Best
+    tile_v for VMEM/throughput: 160 (measured 18.4 ms/scene vs 21.7 XLA)."""
     B, N, fh, fw, C = lat.shape
     P = fh * fw
     nl, tile_v = rig.nl, rig.tile_v
