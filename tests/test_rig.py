@@ -99,8 +99,10 @@ def test_train_step_with_rig_matches_reference_path(rng):
                     pyramid_feat_shapes(tc.resize_size),
                     tile_v=16, dtype=jnp.float32)
 
-    s_ref, ld_ref = step(state, batch)
-    s_rig, ld_rig = step(state, batch, rig)
+    # train_step donates its input state; give each call its own copy
+    copy = lambda s: jax.tree_util.tree_map(jnp.array, s)
+    s_ref, ld_ref = step(copy(state), batch)
+    s_rig, ld_rig = step(copy(state), batch, rig)
     assert float(ld_rig["loss"]) == pytest.approx(float(ld_ref["loss"]), rel=1e-4)
     for a, b in zip(jax.tree_util.tree_leaves(s_ref.params),
                     jax.tree_util.tree_leaves(s_rig.params)):

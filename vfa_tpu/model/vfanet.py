@@ -16,6 +16,7 @@ into a psum when the camera axis is sharded — see vfa_tpu/parallel.py).
 
 from __future__ import annotations
 
+import functools
 from typing import Any, Dict, Tuple
 
 import flax.linen as nn
@@ -176,9 +177,14 @@ class VFANet(nn.Module):
             (lat32, self.collapse32_kernel, self.collapse32_bias),
         )
 
+        @functools.partial(jax.checkpoint, policy=None)
         def one_camera(lat_hwc_tuple, boxes_c):
             """BEV contribution of one camera: sum over the 3 scales of
-            relu(collapse(sample_voxels(...)))."""
+            relu(collapse(sample_voxels(...))).
+
+            Rematerialized: the sampling gathers produce ~2 GB of residuals
+            per camera at full MultiviewC scale; recomputing them in the
+            backward pass keeps training within one chip's HBM."""
             out = jnp.zeros((L, W, 256), dtype=lat8.dtype)
             for lat_hwc, (_, k, b) in zip(lat_hwc_tuple, scales):
                 vox = sample_voxels(

@@ -36,7 +36,16 @@ from vfa_tpu.config import DatasetConfig
 
 @dataclasses.dataclass
 class ScaleRig:
-    """Static sampling structure for one feature scale, all cameras."""
+    """Static sampling structure for one feature scale, all cameras.
+
+    on_raw=True (default): A has the 2D prefix-sum operator folded in
+    (A' = A_taps @ S), so it applies directly to RAW feature bands — each
+    row is the voxel's soft box indicator (fractional bilinear edges). This
+    is numerically essential in bf16: integral-image values reach ~1e4 and
+    bf16 box *differences* of them are ~400% wrong, while raw features are
+    O(1) and MXU-accumulated in fp32 (measured ~1e-2 relative).
+    on_raw=False keeps the 16-tap integral-image form (applies to cumsum'd
+    features)."""
 
     A: jnp.ndarray          # (N, n_tiles, nl*TILE_V, band) merged tap weights
     starts: jnp.ndarray     # (N, n_tiles) int32 band start row (flat pixel)
@@ -44,6 +53,7 @@ class ScaleRig:
     feat_hw: Tuple[int, int]
     nl: int
     tile_v: int
+    on_raw: bool = True
 
 
 @dataclasses.dataclass
@@ -133,6 +143,124 @@ def _np_taps(calib, cfg: DatasetConfig, grid, feat_hw, crange):
     return idx, w
 
 
+def _np_box_profiles(calib, cfg: DatasetConfig, grid, feat_hw, crange):
+    """Per-voxel fractional box bounds in pixel coords + 1/area scale.
+
+    Returns (xl, xr, yt, yb) each (nl, V2d) float64 (unnormalized, the
+    grid_sample align_corners=False convention) and scale (nl, V2d) =
+    visible/area — the same quantities the 16-tap form encodes.
+    """
+    from vfa_tpu.ops.voxel import (
+        EPSILON, MAXIMUM_AREA_RATIO, cube_corner_offsets, z_layer_offsets,
+    )
+
+    fh, fw = feat_hw
+    z_off = z_layer_offsets(cfg.grid_h, cfg.cube_size[2]).astype(np.float64)
+    c_off = cube_corner_offsets(cfg.cube_size).astype(np.float64)
+    corners = (grid.astype(np.float64)[None, :, :, None, :]
+               + z_off[:, None, None, None, :] + c_off)
+    if cfg.name == "MultiviewX":
+        corners = corners / 40.0
+    elif cfg.name == "Wildtrack":
+        corners = corners * np.array([2.5, 2.5, 2.5]) + np.array([-300.0, -900.0, 0.0])
+    calib = np.asarray(calib, np.float64)
+    h = corners @ calib[:, :3].T + calib[:, 3]
+    img = h[..., :2] / h[..., 2:3]
+    ih, iw = cfg.image_size
+    norm = np.clip(2.0 * img / np.array([iw, ih]) - 1.0, crange[0], crange[1])
+    nl = norm.shape[0]
+    V2d = norm.shape[1] * norm.shape[2]
+    norm = norm.reshape(nl, V2d, 8, 2)
+    l, t = norm[..., 0].min(-1), norm[..., 1].min(-1)
+    r, b = norm[..., 0].max(-1), norm[..., 1].max(-1)
+    area = (r - l) * (b - t) * (fh * fw) + EPSILON
+    visible = (area > EPSILON) & (area < fh * fw * MAXIMUM_AREA_RATIO)
+    scale = visible / area
+    unx = lambda v: ((v + 1.0) * fw - 1.0) * 0.5
+    uny = lambda v: ((v + 1.0) * fh - 1.0) * 0.5
+    return unx(l), unx(r), uny(t), uny(b), scale
+
+
+def _axis_params(lo, hi, size):
+    """Step-function params of the prefix-sample difference along one axis.
+
+    c(i) = (1-f)*in0*[i <= t0] + f*in1*[i <= t0+1]; d(i) = c_hi(i) - c_lo(i).
+    Returns (t0_lo, f_lo, in0_lo, in1_lo, t0_hi, f_hi, in0_hi, in1_hi,
+    span_start, span_len).
+    """
+    t0l = np.floor(lo)
+    fl = lo - t0l
+    t0h = np.floor(hi)
+    fh_ = hi - t0h
+    in0l = (t0l >= 0) & (t0l <= size - 1)
+    in1l = (t0l + 1 >= 0) & (t0l + 1 <= size - 1)
+    in0h = (t0h >= 0) & (t0h <= size - 1)
+    in1h = (t0h + 1 >= 0) & (t0h + 1 <= size - 1)
+    i0 = np.maximum(0, t0l).astype(np.int64)
+    # zeros-padding deficit: when an upper tap falls outside the image, the
+    # prefix coefficients don't cancel below the box and the support extends
+    # to pixel 0 (exactly matching the reference's grid_sample zeros
+    # padding). Only reachable when size < 20 given the 0.95 crange clamp.
+    deficit = (~in1h & in0h) | (~in1l & in0l)
+    i0 = np.where(deficit, 0, i0)
+    i1 = np.minimum(size - 1, t0h + 1).astype(np.int64)
+    n = np.maximum(i1 - i0 + 1, 0)
+    return (t0l, fl, in0l, in1l, t0h, fh_, in0h, in1h, i0, n)
+
+
+def _axis_value(i, t0l, fl, in0l, in1l, t0h, fh_, in0h, in1h):
+    """d(i) = c_hi(i) - c_lo(i) evaluated elementwise."""
+    c_lo = (1.0 - fl) * in0l * (i <= t0l) + fl * in1l * (i <= t0l + 1)
+    c_hi = (1.0 - fh_) * in0h * (i <= t0h) + fh_ * in1h * (i <= t0h + 1)
+    return c_hi - c_lo
+
+
+def _raster_fill(A_cam, cfg, calib, grid, feat_hw, crange, starts,
+                 t_of_cell, vi_of_cell, tile_v, band):
+    """Fill one camera's A with prefix-folded soft box indicators.
+
+    Each visible (layer, cell) row gets dy (x) dx rasterized over its box
+    extent: exactly equal to the 16-tap integral-image sample folded through
+    the 2D prefix-sum operator (A' = A_taps @ S), but applied to RAW
+    features. Fully vectorized triplet generation (~20 M entries total for
+    MultiviewC), no device round trips.
+    """
+    fh, fw = feat_hw
+    xl, xr, yt, yb, scale = _np_box_profiles(calib, cfg, grid, feat_hw, crange)
+    nl, V2d = scale.shape
+
+    px = _axis_params(xl.ravel(), xr.ravel(), fw)
+    py = _axis_params(yt.ravel(), yb.ravel(), fh)
+    nx, ny = px[9], py[9]
+    vis = scale.ravel() > 0
+    sel = np.nonzero(vis & (nx > 0) & (ny > 0))[0]
+
+    nx_s, ny_s = nx[sel], ny[sel]
+    total = nx_s * ny_s
+    n_entries = int(total.sum())
+    # entry -> voxel mapping and within-voxel (a, b) coordinates
+    vox = np.repeat(np.arange(len(sel)), total)
+    offs = np.concatenate([[0], np.cumsum(total)[:-1]])
+    k = np.arange(n_entries) - np.repeat(offs, total)
+    a = k // nx_s[vox]
+    b = k % nx_s[vox]
+
+    gsel = sel[vox]                 # flat (layer, cell) index per entry
+    iy = py[8][gsel] + a
+    ix = px[8][gsel] + b
+    dyv = _axis_value(iy, *[p[gsel] for p in py[:8]])
+    dxv = _axis_value(ix, *[p[gsel] for p in px[:8]])
+    val = dyv * dxv * scale.ravel()[gsel]
+
+    layer = gsel // V2d
+    cell = gsel % V2d
+    t = t_of_cell[cell]
+    row = layer * tile_v + vi_of_cell[cell]
+    col = iy * fw + ix - starts[t]
+    ok = (col >= 0) & (col < band)
+    np.add.at(A_cam, (t[ok], row[ok], col[ok]), val[ok])
+
+
 def build_rig(
     calibs: np.ndarray,
     cfg: DatasetConfig,
@@ -142,6 +270,7 @@ def build_rig(
     dtype=jnp.bfloat16,
     crange=(-1.0, 0.95),
     cache_dir: str | None = None,
+    fold_prefix: bool = True,
 ) -> CameraRig:
     """Precompute the banded sampling matrices (host, numpy; one-time).
 
@@ -161,7 +290,7 @@ def build_rig(
             + np.ascontiguousarray(grid, np.float32).tobytes()
             + repr((cfg.name, cfg.grid_h, tuple(cfg.cube_size),
                     tuple(cfg.image_size), tuple(feat_shapes), tile_v,
-                    str(dtype), crange, 'align8')).encode()
+                    str(dtype), crange, 'align8', fold_prefix)).encode()
         ).hexdigest()[:16]
         os.makedirs(cache_dir, exist_ok=True)
         cache_path = os.path.join(cache_dir, f"rig_{key}.npz")
@@ -178,6 +307,7 @@ def build_rig(
                     starts=jnp.asarray(z[f"s{i}"]),
                     inv_perm=jnp.asarray(z[f"p{i}"]),
                     feat_hw=(fh, fw), nl=int(z[f"nl{i}"]), tile_v=tile_v,
+                    on_raw=fold_prefix,
                 ))
             return CameraRig(scales=scales, grid_shape=(L, W))
 
@@ -196,7 +326,7 @@ def build_rig(
 
         # sort cells by mean visible tap position; band = global max span
         orders, tile_starts_all, band_req = [], [], 0
-        for idx, w in per_cam:
+        for cam_i, (idx, w) in enumerate(per_cam):
             m = np.abs(w) > 0
             any_vis = m.any(axis=(0, 2))
             mean_tap = np.where(
@@ -209,12 +339,27 @@ def build_rig(
             pos = np.empty(V2d, np.int64)
             pos[order] = np.arange(V2d)
             t_of_cell = pos // tile_v                      # (V2d,)
-            # per-tile min/max over visible taps, vectorized
+            # per-tile min/max support, vectorized
             lo = np.full(n_tiles, np.iinfo(np.int64).max)
             hi = np.full(n_tiles, -1)
-            t_flat = np.broadcast_to(t_of_cell[None, :, None], idx.shape)[m]
-            np.minimum.at(lo, t_flat, idx[m])
-            np.maximum.at(hi, t_flat, idx[m])
+            if fold_prefix:
+                # support = rasterized box extents (includes the rare
+                # zeros-padding deficit spans, see _axis_params)
+                xl, xr, yt, yb, scl = _np_box_profiles(
+                    calibs[cam_i], cfg, np.asarray(grid), (fh, fw), crange)
+                px = _axis_params(xl.ravel(), xr.ravel(), fw)
+                py = _axis_params(yt.ravel(), yb.ravel(), fh)
+                vis = (scl.ravel() > 0) & (px[9] > 0) & (py[9] > 0)
+                flat_lo = py[8] * fw + px[8]
+                flat_hi = (py[8] + py[9] - 1) * fw + (px[8] + px[9] - 1)
+                cell_f = np.tile(np.arange(V2d), nl)
+                t_flat = t_of_cell[cell_f][vis]
+                np.minimum.at(lo, t_flat, flat_lo[vis])
+                np.maximum.at(hi, t_flat, flat_hi[vis])
+            else:
+                t_flat = np.broadcast_to(t_of_cell[None, :, None], idx.shape)[m]
+                np.minimum.at(lo, t_flat, idx[m])
+                np.maximum.at(hi, t_flat, idx[m])
             # starts aligned down to 8: Mosaic DMA slices require the start
             # index to be a multiple of the (8, 128) tiling
             starts = np.where(hi >= 0, (lo // 8) * 8, 0)
@@ -234,9 +379,14 @@ def build_rig(
             # so any start <= P-1 slices safely
             s = tile_starts_all[cam]
             starts_arr[cam] = s
-            # one scatter-add per camera over all valid taps
             t_of_cell = pos // tile_v
             vi_of_cell = pos % tile_v
+            if fold_prefix:
+                _raster_fill(A[cam], cfg, calibs[cam], np.asarray(grid),
+                             (fh, fw), crange, s, t_of_cell, vi_of_cell,
+                             tile_v, band)
+                continue
+            # 16-tap integral-image form: one scatter-add over all taps
             li = np.broadcast_to(
                 np.arange(nl)[:, None, None], idx.shape)
             cell = np.broadcast_to(
@@ -256,6 +406,7 @@ def build_rig(
             feat_hw=(fh, fw),
             nl=nl,
             tile_v=tile_v,
+            on_raw=fold_prefix,
         ))
         if cache_path:
             import ml_dtypes
@@ -272,7 +423,7 @@ def build_rig(
 
 jax.tree_util.register_dataclass(
     ScaleRig, data_fields=["A", "starts", "inv_perm"],
-    meta_fields=["feat_hw", "nl", "tile_v"],
+    meta_fields=["feat_hw", "nl", "tile_v", "on_raw"],
 )
 jax.tree_util.register_dataclass(
     CameraRig, data_fields=["scales"], meta_fields=["grid_shape"],
@@ -295,10 +446,13 @@ def rig_sample_scale(lat, rig: ScaleRig, collapse_kernel, collapse_bias,
     nl, tile_v = rig.nl, rig.tile_v
     out_dtype = out_dtype or lat.dtype
 
-    ii = jnp.cumsum(jnp.cumsum(lat, axis=3), axis=2).reshape(B, N, P, C)
+    if rig.on_raw:
+        ii = lat.reshape(B, N, P, C)      # prefix-folded A: raw features
+    else:
+        ii = jnp.cumsum(jnp.cumsum(lat, axis=3), axis=2).reshape(B, N, P, C)
     ii = jnp.swapaxes(ii, 0, 1)                       # (N, B, P, C)
     band = rig.A.shape[-1]
-    # pad rows so a clamped start never reads past the end
+    # pad rows so a start near the end never reads past the buffer
     ii = jnp.pad(ii, ((0, 0), (0, 0), (0, band), (0, 0)))
 
     # collapse kernel regrouped per layer: K[c*nl+l, o] -> Kr[l, c, o]
@@ -308,6 +462,9 @@ def rig_sample_scale(lat, rig: ScaleRig, collapse_kernel, collapse_bias,
     def tile_body(carry, xs):
         a_t, s_t = xs                                  # (N, nl*tv, band), (N,)
 
+        # remat: recompute the band slice + dots in the backward pass
+        # instead of saving per-tile residuals (96 tiles x 17 MB otherwise)
+        @jax.checkpoint
         def per_cam(a_n, s_n, ii_n):
             bandv = jax.lax.dynamic_slice_in_dim(ii_n, s_n, band, axis=1)
             # (nl*tv, band) @ (B, band, C) -> (B, nl*tv, C)

@@ -88,7 +88,10 @@ def rig_sample_scale_pallas(lat, rig: ScaleRig, collapse_kernel, collapse_bias,
     n_out = collapse_kernel.shape[-1]
     out_dtype = out_dtype or lat.dtype
 
-    ii = jnp.cumsum(jnp.cumsum(lat, axis=3), axis=2).reshape(B, N, P, C)
+    if rig.on_raw:
+        ii = lat.reshape(B, N, P, C)      # prefix-folded A: raw features
+    else:
+        ii = jnp.cumsum(jnp.cumsum(lat, axis=3), axis=2).reshape(B, N, P, C)
     ii = jnp.swapaxes(ii, 0, 1)                        # (N, B, P, C)
     ii = jnp.pad(ii, ((0, 0), (0, 0), (0, band), (0, 0)))
 

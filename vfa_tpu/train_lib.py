@@ -212,7 +212,7 @@ def make_train_step(model: VFANet, tx, cfg: DatasetConfig, tcfg: TrainConfig,
             loss, loss_dict = loss_fn2(pred, gt)
         return loss, (loss_dict, updates["batch_stats"])
 
-    @jax.jit
+    @functools.partial(jax.jit, donate_argnums=(0,))
     def train_step(state: TrainState, batch, rig=None):
         grad_fn = jax.value_and_grad(loss_fn, has_aux=True)
         (_, (loss_dict, new_bs)), grads = grad_fn(
