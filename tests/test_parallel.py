@@ -50,8 +50,9 @@ def test_sharded_train_step_matches_single_device():
     state, tx = init_state(model, tc, tcfg, jax.random.PRNGKey(0), 4, batch)
     step = make_train_step(model, tx, tc, tcfg, dim_mean=DIM_MEAN)
 
-    # single device
-    s1, ld1 = step(state, batch)
+    # single device (train_step donates its input state; keep a copy)
+    state_copy = jax.tree_util.tree_map(jnp.array, state)
+    s1, ld1 = step(state_copy, batch)
 
     # data=4 x cam=2 mesh
     mesh = make_mesh(data=4, cam=2)
