@@ -313,6 +313,7 @@ def build_rig(
 
     scales = []
     saved = {}
+    total_a_bytes = 0
     for si, (fh, fw) in enumerate(feat_shapes):
         P = fh * fw
         per_cam = [
@@ -408,6 +409,7 @@ def build_rig(
             tile_v=tile_v,
             on_raw=fold_prefix,
         ))
+        total_a_bytes += A.size * (2 if dtype == jnp.bfloat16 else 4)
         if cache_path:
             import ml_dtypes
 
@@ -416,6 +418,15 @@ def build_rig(
             saved[f"s{si}"] = starts_arr
             saved[f"p{si}"] = inv_perm
             saved[f"nl{si}"] = nl
+    if total_a_bytes > 8e9:
+        import sys
+
+        print(
+            f"build_rig: A matrices total {total_a_bytes/1e9:.1f} GB — likely "
+            "exceeds one chip's HBM with activations (Wildtrack/MultiviewX "
+            "scale: nl=8 x large grids). Use the dynamic path or wait for "
+            "bucketed bands.", file=sys.stderr,
+        )
     if cache_path:
         np.savez(cache_path, **saved)  # uncompressed: A is ~4 GB, zlib is slow
     return CameraRig(scales=scales, grid_shape=(L, W))
