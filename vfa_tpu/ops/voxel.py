@@ -20,7 +20,6 @@ TPU-first structure (not a translation):
 
 from __future__ import annotations
 
-import functools
 from typing import Tuple
 
 import jax
