@@ -258,6 +258,9 @@ def _raster_fill(A_cam, cfg, calib, grid, feat_hw, crange, starts,
     row = layer * tile_v + vi_of_cell[cell]
     col = iy * fw + ix - starts[t]
     ok = (col >= 0) & (col < band)
+    # bands are computed from these same raster spans — any out-of-band
+    # entry with weight would mean silently dropped signal
+    assert np.abs(val[~ok]).max(initial=0.0) == 0.0, "raster entry outside band"
     np.add.at(A_cam, (t[ok], row[ok], col[ok]), val[ok])
 
 
