@@ -59,9 +59,10 @@ def test_rig_multiscale_shapes():
     L, W = tc.grid_shape
     for sr, (fh, fw) in zip(rig.scales, shapes):
         assert sr.inv_perm.shape == (2, L * W)
-        assert sr.A.shape[0] == 2
-        assert sr.A.shape[-1] % 8 == 0
-        assert sr.starts.max() + sr.A.shape[-1] >= 0
+        for a, st in zip(sr.A, sr.starts):
+            assert a.shape[0] == 2
+            assert a.shape[-1] % 8 == 0
+            assert st.shape[0] == 2
 
 
 def test_train_step_with_rig_matches_reference_path(rng):
@@ -131,4 +132,37 @@ def test_pallas_rig_matches_xla_rig_interpret(rng):
     ref = rig_sample_scale(lat, sr, k, b)
     got = rig_sample_scale_pallas(lat, sr, k, b, interpret=True)
     np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                               rtol=1e-4, atol=1e-5)
+
+
+@pytest.mark.parametrize("buckets", [2, 3])
+def test_bucketed_rig_matches_reference_path(buckets, rng):
+    """Bucketed band widths must not change the numerics."""
+    tc = tiny_config(mc_opts)
+    grid = make_grid(tc.world_size, tc.cube_size[:2], tc.name)
+    calibs = make_calibrations(tc, 2)
+    fh, fw = tc.resize_size[0] // 8, tc.resize_size[1] // 8
+    B, N, C = 2, 2, 8
+
+    rig1 = build_rig(calibs, tc, grid, [(fh, fw)], tile_v=16,
+                     dtype=jnp.float32)
+    rigb = build_rig(calibs, tc, grid, [(fh, fw)], tile_v=16,
+                     dtype=jnp.float32, band_buckets=buckets)
+    assert len(rigb.scales[0].A) == buckets
+    nl = rig1.scales[0].nl
+    kernel = jnp.asarray(rng.normal(size=(C * nl, 12)).astype(np.float32))
+    bias = jnp.asarray(rng.normal(size=(12,)).astype(np.float32))
+    lat = jnp.asarray(rng.normal(size=(B, N, fh, fw, C)).astype(np.float32))
+
+    out1 = rig_sample_scale(lat, rig1.scales[0], kernel, bias)
+    outb = rig_sample_scale(lat, rigb.scales[0], kernel, bias)
+    np.testing.assert_allclose(np.asarray(outb), np.asarray(out1),
+                               rtol=1e-4, atol=1e-5)
+
+    # pallas interpret path too
+    from vfa_tpu.ops.rig_pallas import rig_sample_scale_pallas
+
+    outp = rig_sample_scale_pallas(lat, rigb.scales[0], kernel, bias,
+                                   interpret=True)
+    np.testing.assert_allclose(np.asarray(outp), np.asarray(out1),
                                rtol=1e-4, atol=1e-5)

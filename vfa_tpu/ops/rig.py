@@ -47,8 +47,8 @@ class ScaleRig:
     on_raw=False keeps the 16-tap integral-image form (applies to cumsum'd
     features)."""
 
-    A: jnp.ndarray          # (N, n_tiles, nl*TILE_V, band) merged tap weights
-    starts: jnp.ndarray     # (N, n_tiles) int32 band start row (flat pixel)
+    A: tuple                # per band bucket: (N, T_b, nl*TILE_V, band_b)
+    starts: tuple           # per bucket: (N, T_b) int32 band start (flat px)
     inv_perm: jnp.ndarray   # (N, V2d) int32: BEV cell -> padded sorted row
     feat_hw: Tuple[int, int]
     nl: int
@@ -216,7 +216,8 @@ def _axis_value(i, t0l, fl, in0l, in1l, t0h, fh_, in0h, in1h):
 
 
 def _raster_fill(A_cam, cfg, calib, grid, feat_hw, crange, starts,
-                 t_of_cell, vi_of_cell, tile_v, band):
+                 t_of_cell, vi_of_cell, tile_v, band, tile_lo=0,
+                 tile_hi=None):
     """Fill one camera's A with prefix-folded soft box indicators.
 
     Each visible (layer, cell) row gets dy (x) dx rasterized over its box
@@ -255,13 +256,17 @@ def _raster_fill(A_cam, cfg, calib, grid, feat_hw, crange, starts,
     layer = gsel // V2d
     cell = gsel % V2d
     t = t_of_cell[cell]
+    if tile_hi is None:
+        tile_hi = t.max(initial=0) + 1
     row = layer * tile_v + vi_of_cell[cell]
     col = iy * fw + ix - starts[t]
-    ok = (col >= 0) & (col < band)
+    in_bucket = (t >= tile_lo) & (t < tile_hi)
+    ok = (col >= 0) & (col < band) & in_bucket
     # bands are computed from these same raster spans — any out-of-band
     # entry with weight would mean silently dropped signal
-    assert np.abs(val[~ok]).max(initial=0.0) == 0.0, "raster entry outside band"
-    np.add.at(A_cam, (t[ok], row[ok], col[ok]), val[ok])
+    dropped = in_bucket & ((col < 0) | (col >= band))
+    assert np.abs(val[dropped]).max(initial=0.0) == 0.0, "entry outside band"
+    np.add.at(A_cam, (t[ok] - tile_lo, row[ok], col[ok]), val[ok])
 
 
 def build_rig(
@@ -274,6 +279,7 @@ def build_rig(
     crange=(-1.0, 0.95),
     cache_dir: str | None = None,
     fold_prefix: bool = True,
+    band_buckets: int = 1,
 ) -> CameraRig:
     """Precompute the banded sampling matrices (host, numpy; one-time).
 
@@ -293,7 +299,8 @@ def build_rig(
             + np.ascontiguousarray(grid, np.float32).tobytes()
             + repr((cfg.name, cfg.grid_h, tuple(cfg.cube_size),
                     tuple(cfg.image_size), tuple(feat_shapes), tile_v,
-                    str(dtype), crange, 'align8', fold_prefix)).encode()
+                    str(dtype), crange, 'align8', fold_prefix,
+                    band_buckets)).encode()
         ).hexdigest()[:16]
         os.makedirs(cache_dir, exist_ok=True)
         cache_path = os.path.join(cache_dir, f"rig_{key}.npz")
@@ -303,11 +310,13 @@ def build_rig(
             z = np.load(cache_path)
             scales = []
             for i, (fh, fw) in enumerate(feat_shapes):
+                nb = int(z[f"nb{i}"])
                 # A stored as the uint16 bit pattern of its bf16 values
-                a = jnp.asarray(z[f"A{i}"].view(ml_dtypes.bfloat16))
+                a = tuple(jnp.asarray(z[f"A{i}_{b}"].view(ml_dtypes.bfloat16))
+                          for b in range(nb))
+                st = tuple(jnp.asarray(z[f"s{i}_{b}"]) for b in range(nb))
                 scales.append(ScaleRig(
-                    A=a,
-                    starts=jnp.asarray(z[f"s{i}"]),
+                    A=a, starts=st,
                     inv_perm=jnp.asarray(z[f"p{i}"]),
                     feat_hw=(fh, fw), nl=int(z[f"nl{i}"]), tile_v=tile_v,
                     on_raw=fold_prefix,
@@ -367,58 +376,100 @@ def build_rig(
             # starts aligned down to 8: Mosaic DMA slices require the start
             # index to be a multiple of the (8, 128) tiling
             starts = np.where(hi >= 0, (lo // 8) * 8, 0)
-            band_req = max(band_req, int((hi - starts + 1).max()))
-            tile_starts_all.append(starts)
-        band = _round_up(max(band_req, 8), 8)
+            spans = np.where(hi >= 0, hi - starts + 1, 1)
+            tile_starts_all.append((starts, spans))
 
-        A = np.zeros((num_cam, n_tiles, nl * tile_v, band), np.float32)
-        starts_arr = np.zeros((num_cam, n_tiles), np.int32)
+        # band buckets: per camera, reorder tiles ascending by span; bucket
+        # b covers the same tile-count range in every camera, padded to the
+        # max span within the bucket (instead of the global max)
+        nb = max(1, min(band_buckets, n_tiles))
+        edges = [0] + [n_tiles * (k + 1) // nb for k in range(nb)]
+        tperms = []
+        bucket_bands = [8] * nb
+        for cam_i in range(num_cam):
+            starts, spans = tile_starts_all[cam_i]
+            tperm = np.argsort(spans, kind="stable")
+            tperms.append(tperm)
+            for b in range(nb):
+                seg = tperm[edges[b]:edges[b + 1]]
+                if len(seg):
+                    bucket_bands[b] = max(bucket_bands[b],
+                                          int(spans[seg].max()))
+        bucket_bands = [_round_up(bb, 8) for bb in bucket_bands]
+        band = max(bucket_bands)
+
+        A_buckets = [
+            np.zeros((num_cam, edges[b + 1] - edges[b], nl * tile_v,
+                      bucket_bands[b]), np.float32)
+            for b in range(nb)
+        ]
+        starts_buckets = [
+            np.zeros((num_cam, edges[b + 1] - edges[b]), np.int32)
+            for b in range(nb)
+        ]
         inv_perm = np.zeros((num_cam, V2d), np.int32)
         for cam, (idx, w) in enumerate(per_cam):
-            order = orders[cam]
+            tperm = tperms[cam]
+            # cell order after tile reordering (tiles ascending by span);
+            # pad slots are kept so tile boundaries stay aligned
+            padded = np.full(n_tiles * tile_v, -1, np.int64)
+            padded[:V2d] = orders[cam]
+            padded2 = np.concatenate([
+                padded[t * tile_v:(t + 1) * tile_v] for t in tperm])
             pos = np.empty(V2d, np.int64)
-            pos[order] = np.arange(V2d)
+            valid_slots = padded2 >= 0
+            pos[padded2[valid_slots]] = np.nonzero(valid_slots)[0]
             inv_perm[cam] = pos
-            # no clamping needed: II is padded by `band` rows at apply time,
-            # so any start <= P-1 slices safely
-            s = tile_starts_all[cam]
-            starts_arr[cam] = s
+            # no clamping needed: features are padded by `band` rows at
+            # apply time, so any start <= P-1 slices safely
+            s_old, _ = tile_starts_all[cam]
+            s2 = s_old[tperm]                      # starts in new tile order
             t_of_cell = pos // tile_v
             vi_of_cell = pos % tile_v
+            for b in range(nb):
+                starts_buckets[b][cam] = s2[edges[b]:edges[b + 1]]
             if fold_prefix:
-                _raster_fill(A[cam], cfg, calibs[cam], np.asarray(grid),
-                             (fh, fw), crange, s, t_of_cell, vi_of_cell,
-                             tile_v, band)
+                for b in range(nb):
+                    _raster_fill(A_buckets[b][cam], cfg, calibs[cam],
+                                 np.asarray(grid), (fh, fw), crange, s2,
+                                 t_of_cell, vi_of_cell, tile_v,
+                                 bucket_bands[b], tile_lo=edges[b],
+                                 tile_hi=edges[b + 1])
                 continue
-            # 16-tap integral-image form: one scatter-add over all taps
+            # 16-tap integral-image form (single bucket only)
+            assert nb == 1, "band_buckets requires fold_prefix"
             li = np.broadcast_to(
                 np.arange(nl)[:, None, None], idx.shape)
             cell = np.broadcast_to(
                 np.arange(V2d)[None, :, None], idx.shape)
-            rel = idx - s[t_of_cell][None, :, None]
+            rel = idx - s2[t_of_cell][None, :, None]
             valid = (np.abs(w) > 0) & (rel >= 0) & (rel < band)
             rows = li * tile_v + vi_of_cell[cell]
             np.add.at(
-                A[cam],
+                A_buckets[0][cam],
                 (t_of_cell[cell][valid], rows[valid], rel[valid]),
                 w[valid],
             )
         scales.append(ScaleRig(
-            A=jnp.asarray(A, dtype),
-            starts=jnp.asarray(starts_arr),
+            A=tuple(jnp.asarray(a, dtype) for a in A_buckets),
+            starts=tuple(jnp.asarray(s) for s in starts_buckets),
             inv_perm=jnp.asarray(inv_perm),
             feat_hw=(fh, fw),
             nl=nl,
             tile_v=tile_v,
             on_raw=fold_prefix,
         ))
-        total_a_bytes += A.size * (2 if dtype == jnp.bfloat16 else 4)
+        total_a_bytes += sum(
+            a.size * (2 if dtype == jnp.bfloat16 else 4) for a in A_buckets)
         if cache_path:
             import ml_dtypes
 
             # store the bf16 bit pattern (npz has no native bf16)
-            saved[f"A{si}"] = A.astype(ml_dtypes.bfloat16).view(np.uint16)
-            saved[f"s{si}"] = starts_arr
+            saved[f"nb{si}"] = nb
+            for b in range(nb):
+                saved[f"A{si}_{b}"] = A_buckets[b].astype(
+                    ml_dtypes.bfloat16).view(np.uint16)
+                saved[f"s{si}_{b}"] = starts_buckets[b]
             saved[f"p{si}"] = inv_perm
             saved[f"nl{si}"] = nl
     if total_a_bytes > 8e9:
@@ -465,44 +516,50 @@ def rig_sample_scale(lat, rig: ScaleRig, collapse_kernel, collapse_bias,
     else:
         ii = jnp.cumsum(jnp.cumsum(lat, axis=3), axis=2).reshape(B, N, P, C)
     ii = jnp.swapaxes(ii, 0, 1)                       # (N, B, P, C)
-    band = rig.A.shape[-1]
+    max_band = max(a.shape[-1] for a in rig.A)
     # pad rows so a start near the end never reads past the buffer
-    ii = jnp.pad(ii, ((0, 0), (0, 0), (0, band), (0, 0)))
+    ii = jnp.pad(ii, ((0, 0), (0, 0), (0, max_band), (0, 0)))
 
     # collapse kernel regrouped per layer: K[c*nl+l, o] -> Kr[l, c, o]
     Kr = collapse_kernel.reshape(C, nl, -1).transpose(1, 0, 2)
     Kr = Kr.astype(jnp.float32)
 
-    def tile_body(carry, xs):
-        a_t, s_t = xs                                  # (N, nl*tv, band), (N,)
+    outs = []
+    for A_b, s_b in zip(rig.A, rig.starts):
+        band = A_b.shape[-1]
 
-        # remat: recompute the band slice + dots in the backward pass
-        # instead of saving per-tile residuals (96 tiles x 17 MB otherwise)
-        @jax.checkpoint
-        def per_cam(a_n, s_n, ii_n):
-            bandv = jax.lax.dynamic_slice_in_dim(ii_n, s_n, band, axis=1)
-            # (nl*tv, band) @ (B, band, C) -> (B, nl*tv, C)
-            vox = jax.lax.dot_general(
-                bandv, a_n,
-                dimension_numbers=(((1,), (1,)), ((), ())),
-                preferred_element_type=jnp.float32,
-            )                                          # (B, C, nl*tv)
-            vox = vox.reshape(B, C, nl, tile_v)
-            out = jnp.einsum(
-                "bclv,lco->bvo", vox, Kr,
-                preferred_element_type=jnp.float32,
-            )
-            return out                                  # (B, tv, 256)
+        def tile_body(carry, xs, band=band):
+            a_t, s_t = xs                              # (N, nl*tv, band), (N,)
 
-        out = jax.vmap(per_cam)(a_t, s_t, ii)           # (N, B, tv, 256)
-        return carry, out
+            # remat: recompute the band slice + dots in the backward pass
+            # instead of saving per-tile residuals (17 MB per tile otherwise)
+            @jax.checkpoint
+            def per_cam(a_n, s_n, ii_n):
+                bandv = jax.lax.dynamic_slice_in_dim(ii_n, s_n, band, axis=1)
+                # (nl*tv, band) @ (B, band, C) -> (B, nl*tv, C)
+                vox = jax.lax.dot_general(
+                    bandv, a_n,
+                    dimension_numbers=(((1,), (1,)), ((), ())),
+                    preferred_element_type=jnp.float32,
+                )                                      # (B, C, nl*tv)
+                vox = vox.reshape(B, C, nl, tile_v)
+                out = jnp.einsum(
+                    "bclv,lco->bvo", vox, Kr,
+                    preferred_element_type=jnp.float32,
+                )
+                return out                              # (B, tv, 256)
 
-    _, tiles = jax.lax.scan(
-        tile_body, 0,
-        (jnp.swapaxes(rig.A, 0, 1), jnp.swapaxes(rig.starts, 0, 1)),
-    )                                                   # (T, N, B, tv, 256)
-    T = tiles.shape[0]
-    out = jnp.transpose(tiles, (1, 2, 0, 3, 4)).reshape(N, B, T * tile_v, -1)
+            out = jax.vmap(per_cam)(a_t, s_t, ii)       # (N, B, tv, 256)
+            return carry, out
+
+        _, tiles = jax.lax.scan(
+            tile_body, 0,
+            (jnp.swapaxes(A_b, 0, 1), jnp.swapaxes(s_b, 0, 1)),
+        )                                               # (T_b, N, B, tv, 256)
+        T_b = tiles.shape[0]
+        outs.append(jnp.transpose(tiles, (1, 2, 0, 3, 4))
+                    .reshape(N, B, T_b * tile_v, -1))
+    out = jnp.concatenate(outs, axis=2) if len(outs) > 1 else outs[0]
     out = jax.nn.relu(out + collapse_bias.astype(jnp.float32))
     # un-permute rows back to BEV order: one small row gather per camera
     out = jax.vmap(lambda o_n, p_n: jnp.take(o_n, p_n, axis=1))(

@@ -83,8 +83,7 @@ def rig_sample_scale_pallas(lat, rig: ScaleRig, collapse_kernel, collapse_bias,
     B, N, fh, fw, C = lat.shape
     P = fh * fw
     nl, tile_v = rig.nl, rig.tile_v
-    band = rig.A.shape[-1]
-    T = rig.A.shape[1]
+    max_band = max(a.shape[-1] for a in rig.A)
     n_out = collapse_kernel.shape[-1]
     out_dtype = out_dtype or lat.dtype
 
@@ -93,46 +92,54 @@ def rig_sample_scale_pallas(lat, rig: ScaleRig, collapse_kernel, collapse_bias,
     else:
         ii = jnp.cumsum(jnp.cumsum(lat, axis=3), axis=2).reshape(B, N, P, C)
     ii = jnp.swapaxes(ii, 0, 1)                        # (N, B, P, C)
-    ii = jnp.pad(ii, ((0, 0), (0, 0), (0, band), (0, 0)))
+    ii = jnp.pad(ii, ((0, 0), (0, 0), (0, max_band), (0, 0)))
 
     # collapse kernel regrouped per layer: K[c*nl+l, o] -> Kr[l, c, o]
     Kr = collapse_kernel.reshape(C, nl, n_out).transpose(1, 0, 2)
     Kr = Kr.astype(lat.dtype)
-    starts = rig.starts.reshape(-1).astype(jnp.int32)  # (N*T,)
 
-    kernel = functools.partial(
-        _kernel, nl=nl, tile_v=tile_v, band=band, C=C, n_out=n_out)
+    outs = []
+    for A_b, s_b in zip(rig.A, rig.starts):
+        band = A_b.shape[-1]
+        T = A_b.shape[1]
+        starts = s_b.reshape(-1).astype(jnp.int32)     # (N*T,)
 
-    grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=1,
-        grid=(N, T, B),
-        in_specs=[
-            pl.BlockSpec(memory_space=pltpu.ANY),           # ii (HBM)
-            pl.BlockSpec((1, 1, nl * tile_v, band),
-                         lambda n, t, b, *_: (n, t, 0, 0),
-                         memory_space=pltpu.VMEM),          # A tile
-            pl.BlockSpec(memory_space=pltpu.VMEM),          # Kr
-        ],
-        out_specs=pl.BlockSpec(
-            (1, 1, 1, tile_v, n_out), lambda n, t, b, *_: (n, t, b, 0, 0),
-            memory_space=pltpu.VMEM),
-        scratch_shapes=[
-            pltpu.VMEM((2, band, C), lat.dtype),
-            pltpu.SemaphoreType.DMA((2,)),
-        ],
-    )
+        kernel = functools.partial(
+            _kernel, nl=nl, tile_v=tile_v, band=band, C=C, n_out=n_out)
 
-    tiles = pl.pallas_call(
-        kernel,
-        grid_spec=grid_spec,
-        out_shape=jax.ShapeDtypeStruct((N, T, B, tile_v, n_out), jnp.float32),
-        interpret=interpret,
-        compiler_params=pltpu.CompilerParams(
-            dimension_semantics=("parallel", "arbitrary", "arbitrary"),
-        ),
-    )(starts, ii, rig.A, Kr)
+        grid_spec = pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=1,
+            grid=(N, T, B),
+            in_specs=[
+                pl.BlockSpec(memory_space=pltpu.ANY),           # ii (HBM)
+                pl.BlockSpec((1, 1, nl * tile_v, band),
+                             lambda n, t, b, *_: (n, t, 0, 0),
+                             memory_space=pltpu.VMEM),          # A tile
+                pl.BlockSpec(memory_space=pltpu.VMEM),          # Kr
+            ],
+            out_specs=pl.BlockSpec(
+                (1, 1, 1, tile_v, n_out), lambda n, t, b, *_: (n, t, b, 0, 0),
+                memory_space=pltpu.VMEM),
+            scratch_shapes=[
+                pltpu.VMEM((2, band, C), lat.dtype),
+                pltpu.SemaphoreType.DMA((2,)),
+            ],
+        )
 
-    out = jnp.transpose(tiles, (0, 2, 1, 3, 4)).reshape(N, B, T * tile_v, n_out)
+        tiles = pl.pallas_call(
+            kernel,
+            grid_spec=grid_spec,
+            out_shape=jax.ShapeDtypeStruct((N, T, B, tile_v, n_out),
+                                           jnp.float32),
+            interpret=interpret,
+            compiler_params=pltpu.CompilerParams(
+                dimension_semantics=("parallel", "arbitrary", "arbitrary"),
+            ),
+        )(starts, ii, A_b, Kr)
+
+        outs.append(jnp.transpose(tiles, (0, 2, 1, 3, 4))
+                    .reshape(N, B, T * tile_v, n_out))
+    out = jnp.concatenate(outs, axis=2) if len(outs) > 1 else outs[0]
     out = jax.nn.relu(out + collapse_bias.astype(jnp.float32))
     out = jax.vmap(lambda o_n, p_n: jnp.take(o_n, p_n, axis=1))(
         out, rig.inv_perm
