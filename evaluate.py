@@ -122,7 +122,6 @@ def main():
 
     rig = None
     if args.rig:
-        from vfa_tpu.data.synthetic import make_calibrations
         from vfa_tpu.geometry import make_grid
         from vfa_tpu.ops.rig import build_rig, pyramid_feat_shapes
 

@@ -58,6 +58,10 @@ def parse_args():
     p.add_argument("--resume", type=str, default=None)
     p.add_argument("--loss_weight", type=float, nargs="*", default=None)
     p.add_argument("--print_iter", type=int, default=1)
+    p.add_argument("--vis_iter", type=int, default=50,
+                   help="decode + write pred-vs-gt figures every N train "
+                        "iterations (0 disables); mirrors the reference "
+                        "trainer's vis_iter")
     p.add_argument("--cls_thresh", type=float, default=0.8)
     p.add_argument("--topk", type=int, default=50)
     p.add_argument("--fix_scheduler", action="store_true",
@@ -104,7 +108,8 @@ def build_config(args):
         weight_decay=args.weight_decay, momentum=args.momentum,
         angle_range=args.angle_range, pretrained=bool(args.pretrained),
         heatmap=args.heatmap, seed=args.seed, savedir=args.savedir,
-        print_iter=args.print_iter, cls_thresh=args.cls_thresh,
+        print_iter=args.print_iter, vis_iter=args.vis_iter,
+        cls_thresh=args.cls_thresh,
         topk=args.topk, scheduler_step_per_epoch=not args.fix_scheduler,
     )
     return cfg, tcfg
@@ -206,6 +211,24 @@ def main():
     train_step = make_train_step(model, tx, cfg, tcfg, dim_mean=dim_mean)
     eval_step = make_eval_step(model, cfg, dim_mean=dim_mean)
 
+    from vfa_tpu.codec import ObjectEncoder
+
+    encoder = ObjectEncoder(cfg, dim_mean=dim_mean, topk=tcfg.topk)
+
+    def write_train_vis(writer, batch, pred, step):
+        """Every vis_iter: pred-vs-gt heatmap + per-camera boxes, like the
+        reference trainer (`vfa/trainer.py:68-87`)."""
+        from vfa_tpu.visualization.figure import heatmap_figure, prediction_figure
+
+        one = {k: v[0:1] for k, v in pred.items()}
+        dets = encoder.batch_decode(one, tcfg.cls_thresh)
+        pred_hm = np.asarray(jax.nn.sigmoid(pred["heatmap"][0, 0]))
+        gt_hm = np.asarray(batch["heatmap"][0])
+        writer.figure("train/heatmap", heatmap_figure(pred_hm, gt_hm), step)
+        writer.figure("train/prediction", prediction_figure(
+            np.asarray(batch["images"][0]), np.asarray(batch["calibs"][0]),
+            pred_hm, dets, batch["objects"][0], cfg), step)
+
     from vfa_tpu.observability import MetricsWriter, profile_trace
 
     writer = MetricsWriter(savedir)
@@ -226,6 +249,9 @@ def main():
                 if tracing:
                     jax.block_until_ready(loss_dict)
             epoch_loss += {k: float(v) for k, v in loss_dict.items()}
+            if tcfg.vis_iter and i % tcfg.vis_iter == 0:
+                _, vis_pred = eval_step(state, jb, rig)
+                write_train_vis(writer, batch, vis_pred, global_it)
             global_it += 1
             if i % tcfg.print_iter == 0:
                 m = epoch_loss.mean

@@ -90,7 +90,6 @@ class TrainConfig:
     vis_iter: int = 50
     cls_thresh: float = 0.8
     topk: int = 50
-    start_save: int = 5
     base: str = "resnet18"
     # Reference quirk: OneCycleLR is configured with steps_per_epoch*epochs
     # total steps but stepped once per epoch (`train.py:257-258,274`), so the

@@ -111,7 +111,7 @@ def rig_sample_scale_pallas(lat, rig: ScaleRig, collapse_kernel, collapse_bias,
             num_scalar_prefetch=1,
             grid=(N, T, B),
             in_specs=[
-                pl.BlockSpec(memory_space=pltpu.ANY),           # ii (HBM)
+                pl.BlockSpec(memory_space=pl.ANY),           # ii (HBM)
                 pl.BlockSpec((1, 1, nl * tile_v, band),
                              lambda n, t, b, *_: (n, t, 0, 0),
                              memory_space=pltpu.VMEM),          # A tile

@@ -64,10 +64,11 @@ def draw_boxes_on_camera(ax, image, calib, objects, cfg: DatasetConfig,
             ax.scatter(px[:, 0], px[:, 1], s=12, c=color, marker="x")
 
 
-def save_prediction_figure(path, images, calibs, pred_heatmap, detections,
-                           gt_objects, cfg: DatasetConfig):
+def prediction_figure(images, calibs, pred_heatmap, detections,
+                      gt_objects, cfg: DatasetConfig):
     """One-page overview: BEV heatmap + every camera with gt (green) and
-    predicted (red) boxes/points."""
+    predicted (red) boxes/points (`vfa/trainer.py:68-87` writes the same
+    content to TensorBoard every vis_iter)."""
     plt = _plt()
     n = len(images)
     ncols = 3
@@ -87,5 +88,12 @@ def save_prediction_figure(path, images, calibs, pred_heatmap, detections,
     for k in range(n + 1, nrows * ncols):
         axes.flat[k].axis("off")
     fig.tight_layout()
+    return fig
+
+
+def save_prediction_figure(path, images, calibs, pred_heatmap, detections,
+                           gt_objects, cfg: DatasetConfig):
+    fig = prediction_figure(images, calibs, pred_heatmap, detections,
+                            gt_objects, cfg)
     fig.savefig(path, dpi=110)
-    plt.close(fig)
+    _plt().close(fig)
