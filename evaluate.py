@@ -43,8 +43,13 @@ def parse_args():
     p.add_argument("-b", "--batch_size", type=int, default=1)
     p.add_argument("--cls_thresh", type=float, default=0.7)
     p.add_argument("--topk", type=int, default=100)
-    p.add_argument("--td", type=float, default=30.0,
-                   help="MODA distance threshold (reference: 30 pyeval, 78 MATLAB)")
+    p.add_argument("--td", type=float, default=None,
+                   help="MODA distance threshold; default is the backend's "
+                        "own (30 for python/pyeval, 78 for matlab)")
+    p.add_argument("--eval_tool", type=str, default="python",
+                   choices=["python", "matlab"],
+                   help="metric semantics to mirror (both run in-process; "
+                        "'matlab' = the official devkit's td=78 behavior)")
     p.add_argument("--out_dir", type=str, default=None)
     p.add_argument("--synthetic", action="store_true")
     p.add_argument("--synthetic_frames", type=int, default=8)
@@ -176,9 +181,11 @@ def main():
         return
 
     recall, precision, moda, modp = evaluate_rcll_prec_moda_modp(
-        paths["pr_dir_pred"], paths["pr_dir_gt"], dataset=cfg.name, td=args.td)
-    print(f"\neval: MODA {moda:.1f}, MODP {modp:.1f}, prec {precision:.1f}, "
-          f"rcll {recall:.1f} (td={args.td})")
+        paths["pr_dir_pred"], paths["pr_dir_gt"], dataset=cfg.name,
+        eval=args.eval_tool, td=args.td)
+    td = args.td if args.td is not None else (78 if args.eval_tool == "matlab" else 30)
+    print(f"\n{args.eval_tool} eval: MODA {moda:.1f}, MODP {modp:.1f}, "
+          f"prec {precision:.1f}, rcll {recall:.1f} (td={td:g})")
     if cfg.mode == "3D" and ap_pred:
         r = evaluate_ap_aos(paths["ap_aos_pred"], paths["ap_aos_gt"])
         for i, t in enumerate((75, 50, 25)):

@@ -37,6 +37,113 @@ def test_moda_allres_fixture_matches_reference():
     np.testing.assert_allclose(got, GOLDEN_ALLRES, rtol=1e-9)
 
 
+# MATLAB-devkit-semantics goldens (td=78, CLEAR_MOD_HUN.m) on the same
+# fixtures. gt-demo/test-demo are byte-identical to the devkit's own
+# gt.txt/test.txt driven by eval_demo.m. Computed by clear_mod_matlab and
+# cross-validated below: the matching cardinality equals an independent
+# augmenting-path maximum matching on the dist<=td graph per frame, and the
+# metric values depend only on (cardinality, total matched distance), which
+# are unique across optimal matchings (see clear_mod_matlab docstring).
+# Gap vs pyeval (td=30): MODA 90.126 vs 89.496, MODP 93.266 vs 83.279 on
+# demo — the pyeval README's "0-2% deviation" is almost entirely the td.
+GOLDEN_DEMO_MATLAB = {
+    "recall": 95.79831932773109, "precision": 94.40993788819875,
+    "far": 1.35, "gt": 952, "tp": 912, "fp": 54, "fn": 40,
+    "moda": 90.12605042016807, "modp": 93.26630216437096,
+}
+GOLDEN_ALLRES_MATLAB = {
+    "recall": 92.33193277310924, "precision": 93.51063829787235,
+    "far": 1.525, "gt": 952, "tp": 879, "fp": 61, "fn": 73,
+    "moda": 85.92436974789916, "modp": 91.95010493289322,
+}
+
+
+@pytest.mark.parametrize("files,golden", [
+    (("test-demo.txt", "gt-demo.txt"), GOLDEN_DEMO_MATLAB),
+    (("all_res.txt", "all_test_gt.txt"), GOLDEN_ALLRES_MATLAB),
+])
+def test_matlab_backend_golden(files, golden):
+    from vfa_tpu.eval.moda import evaluate_detection_matlab
+
+    got = evaluate_detection_matlab(str(FIXTURES / files[0]),
+                                    str(FIXTURES / files[1]))
+    for k, v in golden.items():
+        assert got[k] == pytest.approx(v, rel=1e-12), k
+
+
+def _max_bipartite_cardinality(allowed: np.ndarray) -> int:
+    """Independent maximum-cardinality matching (augmenting paths) on a
+    boolean gt x det adjacency matrix — no cost solver involved."""
+    n_gt, n_det = allowed.shape
+    match_det = -np.ones(n_det, dtype=int)
+
+    def try_assign(u, seen):
+        for v in range(n_det):
+            if allowed[u, v] and not seen[v]:
+                seen[v] = True
+                if match_det[v] < 0 or try_assign(match_det[v], seen):
+                    match_det[v] = u
+                    return True
+        return False
+
+    return sum(try_assign(u, np.zeros(n_det, bool)) for u in range(n_gt))
+
+
+def test_matlab_backend_cardinality_is_maximum():
+    """The big-M Hungarian must recover the same per-frame match count as an
+    independent augmenting-path maximum matching on the dist<=78 graph —
+    the property MATLAB's Hungarian.m padding construction guarantees."""
+    from vfa_tpu.eval.moda import clear_mod_matlab, load_detection_files
+
+    gt, det = load_detection_files(str(FIXTURES / "test-demo.txt"),
+                                   str(FIXTURES / "gt-demo.txt"))
+    total = 0
+    for t in np.unique(det[:, 0]).astype(int):
+        gt_t = gt[gt[:, 0] == t, 2:4]
+        det_t = det[det[:, 0] == t, 2:4]
+        dist = np.linalg.norm(gt_t[:, None, :] - det_t[None, :, :], axis=-1)
+        total += _max_bipartite_cardinality(dist <= 78.0)
+    got = clear_mod_matlab(gt, det)
+    assert got["tp"] == total == 912
+
+
+def test_matlab_backend_unclamped_and_inclusive_td():
+    from vfa_tpu.eval.moda import clear_mod_matlab
+
+    # many false positives -> negative MODA survives (MATLAB doesn't clamp,
+    # CLEAR_MOD_HUN.m:270 only maps NaN->0; pyeval clamps to 0)
+    gt = np.array([[0, 0, 10.0, 20.0]])
+    det = np.array([[0, 0, 10.0, 20.0], [0, 1, 500.0, 500.0],
+                    [0, 2, 600.0, 600.0], [0, 3, 700.0, 700.0]])
+    m = clear_mod_matlab(gt, det, td=78.0)
+    assert m["moda"] == pytest.approx(-200.0)
+    r, p, moda, modp = clear_mod_metrics(gt, det, td=78.0)
+    assert moda == 0.0  # pyeval semantics clamp
+
+    # dist == td exactly: matchable (counts as TP) but contributes 0 to MODP
+    gt = np.array([[0, 0, 0.0, 0.0]])
+    det = np.array([[0, 0, 78.0, 0.0]])
+    m = clear_mod_matlab(gt, det, td=78.0)
+    assert (m["tp"], m["fp"], m["fn"]) == (1, 0, 0)
+    assert m["modp"] == 0.0
+    # pyeval semantics reject the == td pair entirely
+    _, _, moda_py, _ = clear_mod_metrics(gt, det, td=78.0)
+    assert moda_py == 0.0  # clamped from (1 - 2/1) = -100
+
+
+def test_matlab_backend_det_only_trailing_frame_counts_fp():
+    """Frames present only in the det file still contribute FPs (the MATLAB
+    loop runs to F = max det frame); gt has no rows there."""
+    from vfa_tpu.eval.moda import clear_mod_matlab
+
+    gt = np.array([[0, 0, 10.0, 20.0]])
+    det = np.array([[0, 0, 10.0, 20.0], [1, 0, 10.0, 20.0]])
+    m = clear_mod_matlab(gt, det, td=78.0)
+    assert (m["tp"], m["fp"], m["fn"]) == (1, 1, 0)
+    assert m["moda"] == pytest.approx(0.0)
+    assert m["far"] == pytest.approx(1.0)  # 1 FP / Fgt=1 gt frames
+
+
 def test_moda_perfect_detections():
     gt = np.array([[0, 0, 10.0, 20.0], [0, 1, 50.0, 60.0], [1, 0, 5.0, 5.0]])
     r, p, moda, modp = clear_mod_metrics(gt, gt.copy(), td=30.0)

@@ -73,6 +73,90 @@ def clear_mod_metrics(gt: np.ndarray, det: np.ndarray, td: float = DEFAULT_TD):
     return max(recall, 0.0), max(precision, 0.0), max(moda, 0.0), max(modp, 0.0)
 
 
+MATLAB_TD = 78.0
+
+
+def clear_mod_matlab(gt: np.ndarray, det: np.ndarray, td: float = MATLAB_TD):
+    """Exact semantics of the official MATLAB devkit detection path
+    (`motchallenge-devkit/utils/CLEAR_MOD_HUN.m`, driven by
+    `evaluateDetection.m` / `eval_demo.m`) — the backend the paper-grade
+    numbers come from.
+
+    Differences vs the pyeval port (`clear_mod_metrics`):
+      * td defaults to 78 (`CLEAR_MOD_HUN.m:33-39`), not 30;
+      * pairs at exactly dist == td are matchable (MATLAB forbids only
+        dist > td, `CLEAR_MOD_HUN.m:189`) though they contribute 0 to MODP
+        (`distances<td` is strict, `:258`);
+      * the frame loop runs over the detection file's frames
+        (`evaluateDetection.m:38`, `CLEAR_MOD_HUN.m:53` F=max det frame),
+        so trailing det-only frames still count their false positives;
+      * no clamp-at-zero — MODA can go negative; MATLAB only maps NaN->0
+        (`CLEAR_MOD_HUN.m:270`);
+      * the full 9-metric row [Rcll Prcn FAR GT TP FP FN MODA MODP].
+
+    MATLAB's `Hungarian.m` computes a maximum-cardinality minimum-cost
+    matching over the allowed (dist <= td) pairs: its padding construction
+    (deficiency `cnum` extra rows/cols, `Hungarian.m:48-55`) forces maximum
+    cardinality, and Inf edges are never taken. A uniform big-M substitute
+    with post-filtering is equivalent: minimizing total cost first minimizes
+    the number of big-M (forbidden) assignments — i.e. maximizes allowed
+    cardinality — and then minimizes the allowed-pair cost. The metric values
+    depend only on the matching's cardinality and total matched distance,
+    both of which are unique across optimal matchings.
+
+    Returns a dict with keys recall/precision/far/gt/tp/fp/fn/moda/modp.
+    """
+    F = int(det[:, 0].max()) + 1 if len(det) else 0
+    Fgt = int(gt[:, 0].max()) + 1 if len(gt) else 0
+    c = np.zeros(F)
+    fp = np.zeros(F)
+    miss = np.zeros(F)
+    g = np.zeros(F)
+    modp_sum = 0.0
+
+    for t in range(F):
+        gt_t = gt[gt[:, 0] == t, 2:4] if len(gt) else np.zeros((0, 2))
+        det_t = det[det[:, 0] == t, 2:4]
+        g[t] = len(gt_t)
+        matched_d = np.zeros(0)
+        if len(gt_t) and len(det_t):
+            dist = np.linalg.norm(gt_t[:, None, :] - det_t[None, :, :], axis=-1)
+            cost = np.where(dist > td, 1e6, dist)
+            if (cost < 1e6).any():
+                rows, cols = _linear_sum_assignment(cost)
+                keep = dist[rows, cols] <= td
+                matched_d = dist[rows[keep], cols[keep]]
+        c[t] = len(matched_d)
+        fp[t] = len(det_t) - c[t]
+        miss[t] = g[t] - c[t]
+        modp_sum += np.sum(1.0 - matched_d[matched_d < td] / td)
+
+    n_c, n_g, n_fp, n_m = c.sum(), g.sum(), fp.sum(), miss.sum()
+    out = {
+        "recall": n_c / n_g * 100 if n_g > 0 else 0.0,
+        "precision": n_c / (n_fp + n_c) * 100 if (n_fp + n_c) > 0 else 0.0,
+        "far": n_fp / Fgt if Fgt > 0 else 0.0,
+        "gt": n_g,
+        "tp": n_c,
+        "fp": n_fp,
+        "fn": n_m,
+        "moda": (1.0 - (n_m + n_fp) / n_g) * 100 if n_g > 0 else 0.0,
+        "modp": modp_sum / n_c * 100 if n_c > 0 else 0.0,
+    }
+    return out
+
+
+def evaluate_detection_matlab(res_fpath: str, gt_fpath: str,
+                              td: float = MATLAB_TD):
+    """File-level MATLAB-devkit-semantics entry point (td=78 default)."""
+    gt, det = load_detection_files(res_fpath, gt_fpath)
+    if len(det) == 0:
+        return {k: 0.0 for k in
+                ("recall", "precision", "far", "gt", "tp", "fp", "fn",
+                 "moda", "modp")}
+    return clear_mod_matlab(gt, det, td)
+
+
 def load_detection_files(res_fpath: str, gt_fpath: str):
     """Load `frame x y` txt files and reindex frames to 0..F-1.
 
