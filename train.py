@@ -67,6 +67,10 @@ def parse_args():
     p.add_argument("--fix_scheduler", action="store_true",
                    help="step OneCycle per iteration instead of replicating "
                         "the reference's per-epoch quirk")
+    p.add_argument("--no_augment", action="store_true",
+                   help="disable the train-split ColorJitter augmentation "
+                        "(the reference trains with brightness/contrast/hue "
+                        "0.2, train.py:209-214)")
     p.add_argument("--synthetic", action="store_true",
                    help="train on procedurally generated scenes (no dataset)")
     p.add_argument("--synthetic_frames", type=int, default=16)
@@ -116,11 +120,19 @@ def build_config(args):
 
 
 def make_loaders(cfg, args):
+    # train-split ColorJitter, matching the reference recipe; never on val
+    augment = None
+    if not args.no_augment:
+        from vfa_tpu.data.augment import ColorJitterAugment
+
+        augment = ColorJitterAugment(brightness=0.2, contrast=0.2, hue=0.2)
+
     if args.synthetic:
         from vfa_tpu.data.synthetic_loader import SyntheticSceneLoader
 
         train = SyntheticSceneLoader(cfg, num_frames=args.synthetic_frames,
-                                     batch_size=args.batch_size, seed=args.seed)
+                                     batch_size=args.batch_size, seed=args.seed,
+                                     augment=augment)
         val = SyntheticSceneLoader(cfg, num_frames=max(2, args.synthetic_frames // 8),
                                    batch_size=args.batch_size, seed=args.seed + 1)
         return train, val, train.dim_mean
@@ -136,7 +148,7 @@ def make_loaders(cfg, args):
     train_ds = FrameDataset(base, cfg, split="train")
     val_ds = FrameDataset(base, cfg, split="val")
     train = SceneLoader(train_ds, batch_size=args.batch_size, shuffle=True,
-                        seed=args.seed)
+                        seed=args.seed, augment=augment)
     val = SceneLoader(val_ds, batch_size=args.batch_size, shuffle=False)
     return train, val, train_ds.dim_mean
 

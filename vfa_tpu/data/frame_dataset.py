@@ -91,7 +91,7 @@ class SceneLoader:
     def __init__(self, dataset: FrameDataset, batch_size: int = 1,
                  shuffle: bool = False, max_objects: int = 128,
                  num_threads: int = 8, prefetch: int = 2, seed: int = 0,
-                 drop_last: bool = False):
+                 drop_last: bool = False, augment=None):
         self.ds = dataset
         self.batch_size = batch_size
         self.shuffle = shuffle
@@ -99,6 +99,7 @@ class SceneLoader:
         self.num_threads = num_threads
         self.prefetch = prefetch
         self.drop_last = drop_last
+        self.augment = augment  # callable (images (N,H,W,3), rng) -> images
         self._rng = np.random.default_rng(seed)
 
     def __len__(self):
@@ -107,9 +108,16 @@ class SceneLoader:
             return n // self.batch_size
         return (n + self.batch_size - 1) // self.batch_size
 
-    def _make_batch(self, idxs: Sequence[int]) -> Dict[str, np.ndarray]:
+    def _make_batch(self, idxs: Sequence[int],
+                    seed: Optional[int] = None) -> Dict[str, np.ndarray]:
         items = [self.ds[i] for i in idxs]
         mode = self.ds.cfg.mode
+        if self.augment is not None:
+            # per-batch child rng: deterministic given the loader seed and
+            # thread-safe (each pool task owns its generator)
+            rng = np.random.default_rng(seed)
+            for it in items:
+                it["images"] = self.augment(it["images"], rng)
         objs = [pad_objects(it["objects"], self.max_objects, mode)
                 for it in items]
         batch = {
@@ -137,16 +145,19 @@ class SceneLoader:
         if self.drop_last:
             chunks = [c for c in chunks if len(c) == self.batch_size]
 
+        seeds = self._rng.integers(0, 2**63, size=len(chunks))
+        jobs = list(zip(chunks, seeds))
+
         with cf.ThreadPoolExecutor(self.num_threads) as pool:
             pending = []
-            it = iter(chunks)
+            it = iter(jobs)
             for _ in range(self.prefetch + 1):
-                c = next(it, None)
-                if c is not None:
-                    pending.append(pool.submit(self._make_batch, c))
+                j = next(it, None)
+                if j is not None:
+                    pending.append(pool.submit(self._make_batch, *j))
             while pending:
                 fut = pending.pop(0)
-                c = next(it, None)
-                if c is not None:
-                    pending.append(pool.submit(self._make_batch, c))
+                j = next(it, None)
+                if j is not None:
+                    pending.append(pool.submit(self._make_batch, *j))
                 yield fut.result()

@@ -17,10 +17,12 @@ _DIM_MEAN = np.array([145.0, 120.0, 255.0], np.float32)
 class SyntheticSceneLoader:
     def __init__(self, cfg: DatasetConfig, num_frames: int = 16,
                  batch_size: int = 1, max_objects: int = 128, seed: int = 0,
-                 num_objects: int = 6):
+                 num_objects: int = 6, augment=None):
         self.cfg = cfg
         self.batch_size = batch_size
         self.max_objects = max_objects
+        self.augment = augment
+        self._aug_rng = np.random.default_rng(seed + 777)
         self.dim_mean = _DIM_MEAN if cfg.mode == "3D" else None
         self.scenes = [
             make_scene(cfg, seed=seed * 10_000 + i, num_objects=num_objects)
@@ -38,7 +40,10 @@ class SyntheticSceneLoader:
             batch = {
                 "index": np.arange(i, i + len(chunk)),
                 "frame": np.arange(i, i + len(chunk)),
-                "images": np.stack([s.images for s in chunk]),
+                "images": np.stack([
+                    self.augment(s.images, self._aug_rng)
+                    if self.augment is not None else s.images
+                    for s in chunk]),
                 "calibs": np.stack([s.calibs for s in chunk]),
                 "grid": chunk[0].grid,
                 "heatmap": np.stack([s.heatmap for s in chunk]),
