@@ -7,14 +7,14 @@ import pytest
 import jax
 import jax.numpy as jnp
 
-from vfa_tpu.config import mc_opts, wt_opts
+from vfa_tpu.config import mc_opts, mx_opts, wt_opts
 from vfa_tpu.data.synthetic import make_calibrations, tiny_config
 from vfa_tpu.geometry import make_grid
 from vfa_tpu.ops.rig import build_rig, pyramid_feat_shapes, rig_sample_scale
 from vfa_tpu.ops.voxel import sample_voxels, voxel_boxes
 
 
-@pytest.mark.parametrize("cfg", [mc_opts, wt_opts], ids=lambda c: c.name)
+@pytest.mark.parametrize("cfg", [mc_opts, mx_opts, wt_opts], ids=lambda c: c.name)
 def test_rig_matches_reference_path(cfg, rng):
     tc = tiny_config(cfg)
     grid = make_grid(tc.world_size, tc.cube_size[:2], tc.name)
@@ -166,3 +166,42 @@ def test_bucketed_rig_matches_reference_path(buckets, rng):
                                    interpret=True)
     np.testing.assert_allclose(np.asarray(outp), np.asarray(out1),
                                rtol=1e-4, atol=1e-5)
+
+
+@pytest.mark.parametrize("buckets", [1, 2])
+def test_pallas_rig_vjp_matches_xla_interpret(buckets, rng):
+    """The hand-written backward kernel (transposed banded matmul) must
+    produce the same lat/kernel gradients as XLA autodiff of the scan
+    formulation (fp32, interpret mode)."""
+    from vfa_tpu.ops.rig import pyramid_feat_shapes
+    from vfa_tpu.ops.rig_pallas import rig_sample_scale_pallas
+
+    tc = tiny_config(mc_opts)
+    grid = make_grid(tc.world_size, tc.cube_size[:2], tc.name)
+    calibs = make_calibrations(tc, 2)
+    shapes = pyramid_feat_shapes(tc.resize_size)
+    rig = build_rig(calibs, tc, grid, shapes[:1], tile_v=16,
+                    dtype=jnp.float32, band_buckets=buckets)
+    sr = rig.scales[0]
+    B, N, C = 2, 2, 8
+    fh, fw = shapes[0]
+    lat = jnp.asarray(rng.normal(size=(B, N, fh, fw, C)).astype(np.float32))
+    k = jnp.asarray(rng.normal(size=(C * sr.nl, 12)).astype(np.float32))
+    b = jnp.asarray(rng.normal(size=(12,)).astype(np.float32))
+    # non-uniform weights so the relu/bias chain feeds a non-trivial cotangent
+    w = jnp.asarray(rng.normal(size=(B, N, sr.inv_perm.shape[1], 12))
+                    .astype(np.float32))
+
+    def loss_xla(lat, k):
+        return jnp.sum(rig_sample_scale(lat, sr, k, b) * w)
+
+    def loss_pal(lat, k):
+        return jnp.sum(rig_sample_scale_pallas(lat, sr, k, b,
+                                               interpret=True) * w)
+
+    gx_lat, gx_k = jax.grad(loss_xla, argnums=(0, 1))(lat, k)
+    gp_lat, gp_k = jax.grad(loss_pal, argnums=(0, 1))(lat, k)
+    np.testing.assert_allclose(np.asarray(gp_lat), np.asarray(gx_lat),
+                               rtol=1e-4, atol=1e-4)
+    np.testing.assert_allclose(np.asarray(gp_k), np.asarray(gx_k),
+                               rtol=1e-4, atol=1e-4)

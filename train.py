@@ -83,6 +83,26 @@ def parse_args():
     p.add_argument("--rig", action="store_true",
                    help="train through the compiled-rig sampling path "
                         "(fixed calibrations)")
+    p.add_argument("--rig_impl", type=str, default="xla",
+                   choices=["xla", "pallas"],
+                   help="rig sampling backend; 'pallas' runs the fused "
+                        "kernel with its hand-written VJP for both "
+                        "training and eval")
+    # Multi-host (SURVEY §2.9): one JAX process per host; data axis spans
+    # hosts over DCN, cam axis stays on ICI. Single-process (the default
+    # --num_processes 1) is the tested degenerate path.
+    p.add_argument("--multihost", action="store_true",
+                   help="initialize jax.distributed and shard the batch over "
+                        "a global (data, cam) mesh; see vfa_tpu/parallel.py")
+    p.add_argument("--coordinator", type=str, default="localhost:8476",
+                   help="coordinator address host:port (process 0's host)")
+    p.add_argument("--num_processes", type=int,
+                   default=int(os.environ.get("VFA_NUM_PROCESSES", "1")))
+    p.add_argument("--process_id", type=int,
+                   default=int(os.environ.get("VFA_PROCESS_ID", "0")))
+    p.add_argument("--mesh_cam", type=int, default=1,
+                   help="devices on the mesh 'cam' axis (keep <= chips/host "
+                        "so the camera all-reduce rides ICI)")
     return p.parse_args()
 
 
@@ -127,14 +147,18 @@ def make_loaders(cfg, args):
 
         augment = ColorJitterAugment(brightness=0.2, contrast=0.2, hue=0.2)
 
+    # multi-host: each process loads a disjoint strided frame shard
+    shard = {"process_id": args.process_id, "process_count": args.num_processes}
+
     if args.synthetic:
         from vfa_tpu.data.synthetic_loader import SyntheticSceneLoader
 
         train = SyntheticSceneLoader(cfg, num_frames=args.synthetic_frames,
                                      batch_size=args.batch_size, seed=args.seed,
-                                     augment=augment)
+                                     augment=augment, **shard)
         val = SyntheticSceneLoader(cfg, num_frames=max(2, args.synthetic_frames // 8),
-                                   batch_size=args.batch_size, seed=args.seed + 1)
+                                   batch_size=args.batch_size, seed=args.seed + 1,
+                                   **shard)
         return train, val, train.dim_mean
 
     from vfa_tpu.data.adapters import ADAPTERS
@@ -148,8 +172,8 @@ def make_loaders(cfg, args):
     train_ds = FrameDataset(base, cfg, split="train")
     val_ds = FrameDataset(base, cfg, split="val")
     train = SceneLoader(train_ds, batch_size=args.batch_size, shuffle=True,
-                        seed=args.seed, augment=augment)
-    val = SceneLoader(val_ds, batch_size=args.batch_size, shuffle=False)
+                        seed=args.seed, augment=augment, **shard)
+    val = SceneLoader(val_ds, batch_size=args.batch_size, shuffle=False, **shard)
     return train, val, train_ds.dim_mean
 
 
@@ -157,6 +181,12 @@ def main():
     _apply_platform_env()
     args = parse_args()
     cfg, tcfg = build_config(args)
+
+    if args.multihost:
+        # must run before any other jax API touches the backend
+        from vfa_tpu.parallel import init_multihost
+
+        init_multihost(args.coordinator, args.num_processes, args.process_id)
 
     import jax
     import jax.numpy as jnp
@@ -177,7 +207,7 @@ def main():
 
     train_loader, val_loader, dim_mean = make_loaders(cfg, args)
     steps_per_epoch = max(1, len(train_loader))
-    model = create_model(cfg, tcfg)
+    model = create_model(cfg, tcfg, rig_impl=args.rig_impl)
 
     sample = next(iter(train_loader))
     batch0 = {k: jnp.asarray(v) for k, v in sample.items()
@@ -216,9 +246,27 @@ def main():
             np.asarray(sample["calibs"][0]), cfg,
             make_grid(cfg.world_size, cfg.cube_size[:2], cfg.name),
             pyramid_feat_shapes(cfg.resize_size),
+            # the fused Pallas kernel needs smaller A tiles to fit VMEM
+            tile_v=160 if args.rig_impl == "pallas" else 256,
             cache_dir=os.path.expanduser("~/.cache/vfa_tpu_rig"),
         )
         print("compiled-rig sampling enabled")
+
+    mesh = None
+    if args.multihost:
+        from vfa_tpu.parallel import make_global_batch, make_mesh, replicate
+
+        mesh = make_mesh(cam=args.mesh_cam)
+        state = replicate(state, mesh)
+        print(f"multihost: {jax.process_count()} processes, "
+              f"{len(jax.devices())} devices, mesh {dict(zip(mesh.axis_names, mesh.devices.shape))}")
+
+    def to_device(batch):
+        jb = {k: v for k, v in batch.items()
+              if k not in ("objects", "index", "frame")}
+        if mesh is None:
+            return {k: jnp.asarray(v) for k, v in jb.items()}
+        return make_global_batch(jb, mesh)
 
     train_step = make_train_step(model, tx, cfg, tcfg, dim_mean=dim_mean)
     eval_step = make_eval_step(model, cfg, dim_mean=dim_mean)
@@ -253,8 +301,7 @@ def main():
         t0 = time.time()
         epoch_loss = MetricDict()
         for i, batch in enumerate(train_loader):
-            jb = {k: jnp.asarray(v) for k, v in batch.items()
-                  if k not in ("objects", "index", "frame")}
+            jb = to_device(batch)
             tracing = args.profile_steps and global_it == args.profile_steps
             with profile_trace(os.path.join(savedir, "profile") if tracing else None):
                 state, loss_dict = train_step(state, jb, rig)
@@ -275,8 +322,7 @@ def main():
         val_loss = MetricDict()
         last_pred = None
         for batch in val_loader:
-            jb = {k: jnp.asarray(v) for k, v in batch.items()
-                  if k not in ("objects", "index", "frame")}
+            jb = to_device(batch)
             loss_dict, last_pred = eval_step(state, jb, rig)
             val_loss += {k: float(v) for k, v in loss_dict.items()}
         val_mean = val_loss.mean

@@ -71,14 +71,201 @@ def _kernel(starts_ref, ii_hbm, a_ref, kr_ref, out_ref,
     out_ref[0, 0, 0] = acc
 
 
+def _bwd_kernel(starts_ref, ii_hbm, a_ref, kr_ref, g_ref, dii_in_hbm,
+                dii_hbm, dkr_ref, band_buf, dband_buf, sem, dsem,
+                *, nl, tile_v, band, C, n_out):
+    """Transposed banded matmul: the VJP of `_kernel`.
+
+    Per (camera n, tile t, scene b), with g the cotangent of the fwd tile:
+        band   = II[start : start+band]              (recomputed, DMA)
+        vox_l  = A_l @ band                          (fwd recompute)
+        dKr_l += vox_l^T @ g                         (VMEM-resident block)
+        dv_l   = g @ Kr_l^T
+        dband  = sum_l A_l^T @ dv_l
+        dII[start : start+band] += dband             (HBM read-modify-write;
+                                                      grid is sequential so
+                                                      overlapping bands from
+                                                      different tiles are safe)
+    dII arrives as a zeros-initialized aliased input, so untouched pixels
+    stay zero without an explicit clear pass.
+    """
+    n = pl.program_id(0)
+    t = pl.program_id(1)
+    b = pl.program_id(2)
+
+    start = pl.multiple_of(starts_ref[n * pl.num_programs(1) + t], 8)
+
+    # recompute the feature band (same DMA as forward)
+    cp_in = pltpu.make_async_copy(
+        ii_hbm.at[n, b, pl.ds(start, band), :], band_buf, sem)
+    cp_in.start()
+
+    @pl.when((n == 0) & (t == 0) & (b == 0))
+    def _():
+        dkr_ref[:] = jnp.zeros_like(dkr_ref)
+
+    # read the current dII band while the feature band is in flight
+    rd = pltpu.make_async_copy(
+        dii_hbm.at[n, b, pl.ds(start, band), :], dband_buf, dsem)
+    rd.start()
+
+    g = g_ref[0, 0, 0]                                   # (tile_v, n_out)
+    cp_in.wait()
+
+    dband = jnp.zeros((band, C), jnp.float32)
+    for l in range(nl):
+        a_l = a_ref[0, 0, l * tile_v:(l + 1) * tile_v]   # (tile_v, band)
+        vox_l = jax.lax.dot_general(                     # fwd recompute
+            a_l, band_buf[...],
+            dimension_numbers=(((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )                                                # (tile_v, C)
+        dkr_ref[l] += jax.lax.dot_general(               # vox_l^T @ g
+            vox_l, g,
+            dimension_numbers=(((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )                                                # (C, n_out)
+        dv_l = jax.lax.dot_general(                      # g @ Kr_l^T
+            g, kr_ref[l],
+            dimension_numbers=(((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )                                                # (tile_v, C)
+        dband += jax.lax.dot_general(                    # A_l^T @ dv_l
+            a_l.astype(jnp.float32), dv_l,
+            dimension_numbers=(((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )                                                # (band, C)
+
+    rd.wait()
+    dband_buf[...] += dband
+    wr = pltpu.make_async_copy(
+        dband_buf, dii_hbm.at[n, b, pl.ds(start, band), :], dsem)
+    wr.start()
+    wr.wait()  # the next grid step may read an overlapping band
+
+
+def _bucket_fwd_call(starts, ii, A_b, Kr, *, N, T, B, nl, tile_v, band, C,
+                     n_out, interpret):
+    kernel = functools.partial(
+        _kernel, nl=nl, tile_v=tile_v, band=band, C=C, n_out=n_out)
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(N, T, B),
+        in_specs=[
+            pl.BlockSpec(memory_space=pl.ANY),              # ii (HBM)
+            pl.BlockSpec((1, 1, nl * tile_v, band),
+                         lambda n, t, b, *_: (n, t, 0, 0),
+                         memory_space=pltpu.VMEM),          # A tile
+            pl.BlockSpec(memory_space=pltpu.VMEM),          # Kr
+        ],
+        out_specs=pl.BlockSpec(
+            (1, 1, 1, tile_v, n_out), lambda n, t, b, *_: (n, t, b, 0, 0),
+            memory_space=pltpu.VMEM),
+        scratch_shapes=[
+            pltpu.VMEM((2, band, C), ii.dtype),
+            pltpu.SemaphoreType.DMA((2,)),
+        ],
+    )
+    return pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((N, T, B, tile_v, n_out), jnp.float32),
+        interpret=interpret,
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "arbitrary", "arbitrary"),
+        ),
+    )(starts, ii, A_b, Kr)
+
+
+def _bucket_bwd_call(starts, ii, A_b, Kr, g, *, N, T, B, nl, tile_v, band, C,
+                     n_out, interpret):
+    P_pad = ii.shape[2]
+    kernel = functools.partial(
+        _bwd_kernel, nl=nl, tile_v=tile_v, band=band, C=C, n_out=n_out)
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(N, T, B),
+        in_specs=[
+            pl.BlockSpec(memory_space=pl.ANY),              # ii (HBM)
+            pl.BlockSpec((1, 1, nl * tile_v, band),
+                         lambda n, t, b, *_: (n, t, 0, 0),
+                         memory_space=pltpu.VMEM),          # A tile
+            pl.BlockSpec(memory_space=pltpu.VMEM),          # Kr
+            pl.BlockSpec((1, 1, 1, tile_v, n_out),
+                         lambda n, t, b, *_: (n, t, b, 0, 0),
+                         memory_space=pltpu.VMEM),          # g tile
+            pl.BlockSpec(memory_space=pl.ANY),              # dII init (HBM)
+        ],
+        out_specs=(
+            pl.BlockSpec(memory_space=pl.ANY),              # dII (aliased)
+            pl.BlockSpec((nl, C, n_out), lambda n, t, b, *_: (0, 0, 0),
+                         memory_space=pltpu.VMEM),          # dKr (resident)
+        ),
+        scratch_shapes=[
+            pltpu.VMEM((band, C), ii.dtype),                # feature band
+            pltpu.VMEM((band, C), jnp.float32),             # dII band
+            pltpu.SemaphoreType.DMA(()),
+            pltpu.SemaphoreType.DMA(()),
+        ],
+    )
+    dii_init = jnp.zeros((N, B, P_pad, C), jnp.float32)
+    dii, dkr = pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=(
+            jax.ShapeDtypeStruct((N, B, P_pad, C), jnp.float32),
+            jax.ShapeDtypeStruct((nl, C, n_out), jnp.float32),
+        ),
+        # alias the zeros-filled dII init (input 5 counting the scalar
+        # prefetch arg) onto output 0 so accumulation is in place
+        input_output_aliases={5: 0},
+        interpret=interpret,
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("arbitrary", "arbitrary", "arbitrary"),
+        ),
+    )(starts, ii, A_b, Kr, g, dii_init)
+    return dii, dkr
+
+
+def _make_bucket_op(*, N, T, B, nl, tile_v, band, C, n_out, interpret):
+    """custom-VJP'd per-bucket sampling op: (starts, ii, A, Kr) -> tiles.
+
+    The bwd is the hand-written transposed-banded-matmul kernel above; A and
+    starts are rig structure (never trained), so their cotangents are a
+    DCE'd zeros and a float0."""
+    static = dict(N=N, T=T, B=B, nl=nl, tile_v=tile_v, band=band, C=C,
+                  n_out=n_out, interpret=interpret)
+
+    @jax.custom_vjp
+    def op(starts, ii, A_b, Kr):
+        return _bucket_fwd_call(starts, ii, A_b, Kr, **static)
+
+    def fwd(starts, ii, A_b, Kr):
+        return op(starts, ii, A_b, Kr), (starts, ii, A_b, Kr)
+
+    def bwd(res, g):
+        starts, ii, A_b, Kr = res
+        dii, dkr = _bucket_bwd_call(starts, ii, A_b, Kr, g, **static)
+        import numpy as np
+
+        return (np.zeros(starts.shape, dtype=jax.dtypes.float0),
+                dii.astype(ii.dtype),
+                jnp.zeros_like(A_b),
+                dkr.astype(Kr.dtype))
+
+    op.defvjp(fwd, bwd)
+    return op
+
+
 def rig_sample_scale_pallas(lat, rig: ScaleRig, collapse_kernel, collapse_bias,
                             out_dtype=None, interpret=False):
     """Drop-in replacement for `ops.rig.rig_sample_scale` running the fused
     Pallas kernel. Same contract: lat (B, N, fh, fw, C) ->
     (B, N, V2d, n_out) with relu(collapse(vox)) un-permuted to BEV order.
 
-    Inference-only: the kernel has no VJP (training goes through the XLA
-    formulation, which XLA differentiates as transposed matmuls). Best
+    Differentiable: each bucket's pallas_call carries a custom VJP whose
+    backward is a second fused kernel (transposed banded matmul with in-place
+    HBM accumulation), so training runs the fused path end to end. Best
     tile_v for VMEM/throughput: 160 (measured 18.4 ms/scene vs 21.7 XLA)."""
     B, N, fh, fw, C = lat.shape
     P = fh * fw
@@ -86,6 +273,9 @@ def rig_sample_scale_pallas(lat, rig: ScaleRig, collapse_kernel, collapse_bias,
     max_band = max(a.shape[-1] for a in rig.A)
     n_out = collapse_kernel.shape[-1]
     out_dtype = out_dtype or lat.dtype
+    # pallas compiles only for TPU; on CPU (tests, smoke CLIs) fall back to
+    # the interpreter so `--rig_impl pallas` works everywhere
+    interpret = interpret or jax.default_backend() == "cpu"
 
     if rig.on_raw:
         ii = lat.reshape(B, N, P, C)      # prefix-folded A: raw features
@@ -104,38 +294,9 @@ def rig_sample_scale_pallas(lat, rig: ScaleRig, collapse_kernel, collapse_bias,
         T = A_b.shape[1]
         starts = s_b.reshape(-1).astype(jnp.int32)     # (N*T,)
 
-        kernel = functools.partial(
-            _kernel, nl=nl, tile_v=tile_v, band=band, C=C, n_out=n_out)
-
-        grid_spec = pltpu.PrefetchScalarGridSpec(
-            num_scalar_prefetch=1,
-            grid=(N, T, B),
-            in_specs=[
-                pl.BlockSpec(memory_space=pl.ANY),           # ii (HBM)
-                pl.BlockSpec((1, 1, nl * tile_v, band),
-                             lambda n, t, b, *_: (n, t, 0, 0),
-                             memory_space=pltpu.VMEM),          # A tile
-                pl.BlockSpec(memory_space=pltpu.VMEM),          # Kr
-            ],
-            out_specs=pl.BlockSpec(
-                (1, 1, 1, tile_v, n_out), lambda n, t, b, *_: (n, t, b, 0, 0),
-                memory_space=pltpu.VMEM),
-            scratch_shapes=[
-                pltpu.VMEM((2, band, C), lat.dtype),
-                pltpu.SemaphoreType.DMA((2,)),
-            ],
-        )
-
-        tiles = pl.pallas_call(
-            kernel,
-            grid_spec=grid_spec,
-            out_shape=jax.ShapeDtypeStruct((N, T, B, tile_v, n_out),
-                                           jnp.float32),
-            interpret=interpret,
-            compiler_params=pltpu.CompilerParams(
-                dimension_semantics=("parallel", "arbitrary", "arbitrary"),
-            ),
-        )(starts, ii, A_b, Kr)
+        op = _make_bucket_op(N=N, T=T, B=B, nl=nl, tile_v=tile_v, band=band,
+                             C=C, n_out=n_out, interpret=interpret)
+        tiles = op(starts, ii, A_b, Kr)
 
         outs.append(jnp.transpose(tiles, (0, 2, 1, 3, 4))
                     .reshape(N, B, T * tile_v, n_out))
