@@ -75,7 +75,7 @@ def _ref_args(tc):
     )
 
 
-@pytest.mark.parametrize("dataset", ["MultiviewC", "Wildtrack"])
+@pytest.mark.parametrize("dataset", ["MultiviewC", "MultiviewX", "Wildtrack"])
 def test_forward_parity_with_reference(ref_modules, dataset, rng):
     import torch
 
