@@ -116,3 +116,47 @@ def test_camera_psum_bev_matches_unsharded(rng):
     got = camera_psum_bev(mesh, lats, boxes, kernel, bias)
     np.testing.assert_allclose(np.asarray(got), np.asarray(want),
                                rtol=1e-4, atol=1e-5)
+
+
+def test_process_local_indices_partition():
+    """Strided shards must partition the dataset exactly (no frame read
+    twice, none dropped) for any process count."""
+    from vfa_tpu.parallel import process_local_indices
+
+    for n in (1, 7, 16, 100):
+        for pc in (1, 2, 3, 8):
+            shards = [process_local_indices(n, pid, pc) for pid in range(pc)]
+            allidx = np.sort(np.concatenate(shards))
+            np.testing.assert_array_equal(allidx, np.arange(n))
+
+
+def test_make_global_batch_single_process():
+    """Degenerate single-process path: make_global_batch == shard_batch and
+    the sharded train step runs on the result."""
+    from vfa_tpu.parallel import make_global_batch
+
+    assert jax.process_count() == 1
+    tc = tiny_config(mc_opts)
+    mesh = make_mesh(cam=2)
+    batch = _batch(tc, 4)
+    gb = make_global_batch(batch, mesh)
+    assert gb["images"].sharding.mesh.shape == {"data": 4, "cam": 2}
+    np.testing.assert_allclose(np.asarray(gb["images"]),
+                               np.asarray(batch["images"]))
+
+
+def test_scene_loader_process_sharding():
+    """Two-process loaders must cover disjoint frame shards whose union is
+    the whole dataset, with identical shuffles."""
+    from vfa_tpu.data.synthetic_loader import SyntheticSceneLoader
+
+    tc = tiny_config(mc_opts)
+    full = SyntheticSceneLoader(tc, num_frames=6, batch_size=1, seed=3)
+    parts = [SyntheticSceneLoader(tc, num_frames=6, batch_size=1, seed=3,
+                                  process_id=p, process_count=2)
+             for p in range(2)]
+    assert len(parts[0].scenes) + len(parts[1].scenes) == len(full.scenes)
+    got = np.sort(np.concatenate(
+        [[float(np.sum(s.images)) for s in p.scenes] for p in parts]))
+    want = np.sort([float(np.sum(s.images)) for s in full.scenes])
+    np.testing.assert_allclose(got, want)

@@ -91,7 +91,8 @@ class SceneLoader:
     def __init__(self, dataset: FrameDataset, batch_size: int = 1,
                  shuffle: bool = False, max_objects: int = 128,
                  num_threads: int = 8, prefetch: int = 2, seed: int = 0,
-                 drop_last: bool = False, augment=None):
+                 drop_last: bool = False, augment=None,
+                 process_id: int = 0, process_count: int = 1):
         self.ds = dataset
         self.batch_size = batch_size
         self.shuffle = shuffle
@@ -100,10 +101,14 @@ class SceneLoader:
         self.prefetch = prefetch
         self.drop_last = drop_last
         self.augment = augment  # callable (images (N,H,W,3), rng) -> images
+        # multi-host: every process shuffles with the SAME seed, then takes a
+        # disjoint strided shard — per-host DCN-side IO, no frame read twice
+        self.process_id = process_id
+        self.process_count = process_count
         self._rng = np.random.default_rng(seed)
 
     def __len__(self):
-        n = len(self.ds)
+        n = len(range(self.process_id, len(self.ds), self.process_count))
         if self.drop_last:
             return n // self.batch_size
         return (n + self.batch_size - 1) // self.batch_size
@@ -140,6 +145,7 @@ class SceneLoader:
         order = np.arange(len(self.ds))
         if self.shuffle:
             self._rng.shuffle(order)
+        order = order[self.process_id::self.process_count]
         chunks = [order[i:i + self.batch_size]
                   for i in range(0, len(order), self.batch_size)]
         if self.drop_last:

@@ -17,16 +17,18 @@ _DIM_MEAN = np.array([145.0, 120.0, 255.0], np.float32)
 class SyntheticSceneLoader:
     def __init__(self, cfg: DatasetConfig, num_frames: int = 16,
                  batch_size: int = 1, max_objects: int = 128, seed: int = 0,
-                 num_objects: int = 6, augment=None):
+                 num_objects: int = 6, augment=None,
+                 process_id: int = 0, process_count: int = 1):
         self.cfg = cfg
         self.batch_size = batch_size
         self.max_objects = max_objects
         self.augment = augment
         self._aug_rng = np.random.default_rng(seed + 777)
         self.dim_mean = _DIM_MEAN if cfg.mode == "3D" else None
+        # multi-host: each process generates only its strided frame shard
         self.scenes = [
             make_scene(cfg, seed=seed * 10_000 + i, num_objects=num_objects)
-            for i in range(num_frames)
+            for i in range(process_id, num_frames, process_count)
         ]
 
     def __len__(self):

@@ -19,6 +19,63 @@ import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 
+def init_multihost(coordinator: str, num_processes: int, process_id: int,
+                   local_device_ids: Optional[Sequence[int]] = None) -> None:
+    """Multi-host bring-up: one JAX process per host, GSPMD over all chips.
+
+    The reference has no multi-node story at all (single GPU, SURVEY §2.9);
+    the TPU-native equivalent is `jax.distributed.initialize` + the same
+    sharded train step — GSPMD partitions one program over every chip in the
+    slice, so nothing else changes. Call this before ANY other jax API.
+
+    Axis layout guidance (see `make_mesh`): put the 'data' axis across hosts
+    — its gradient all-reduce is one psum per step and rides DCN fine — and
+    keep the 'cam' axis inside a host so the per-scene camera all-reduce of
+    the BEV sum stays on ICI. `make_mesh(data=-1, cam=k)` with
+    `jax.devices()` (the GLOBAL device list) already produces this layout
+    because TPU device order enumerates hosts contiguously.
+
+    Single-process degenerate path: num_processes=1 starts the coordinator
+    locally and is a no-op beyond that (tested in tests/test_parallel.py).
+    """
+    jax.distributed.initialize(
+        coordinator_address=coordinator,
+        num_processes=num_processes,
+        process_id=process_id,
+        local_device_ids=local_device_ids,
+    )
+
+
+def process_local_indices(n: int, process_id: Optional[int] = None,
+                          process_count: Optional[int] = None) -> np.ndarray:
+    """Frame indices this process loads: a strided shard of the dataset.
+
+    Data loading is per-host on DCN (each host reads only its scenes from
+    disk/NFS); the global batch is assembled with `make_global_batch`. With
+    one process this is the identity — the loaders call it unconditionally.
+    """
+    pid = jax.process_index() if process_id is None else process_id
+    pc = jax.process_count() if process_count is None else process_count
+    return np.arange(n)[pid::pc]
+
+
+def make_global_batch(local_batch: Dict, mesh: Mesh) -> Dict:
+    """Assemble per-process local batches into globally-sharded arrays.
+
+    Each process passes its LOCAL slice of the batch (local_scenes =
+    global_batch / process_count scenes); the result is a global jax.Array
+    sharded with the canonical `batch_sharding` specs. Single-process this
+    equals `shard_batch`.
+    """
+    if jax.process_count() == 1:
+        return shard_batch(local_batch, mesh)
+    sh = batch_sharding(mesh)
+    return {
+        k: jax.make_array_from_process_local_data(sh[k], np.asarray(v))
+        for k, v in local_batch.items() if k in sh
+    }
+
+
 def make_mesh(data: int = -1, cam: int = 1, devices=None) -> Mesh:
     """Build a (data, cam) mesh. data=-1 uses all remaining devices."""
     devices = np.asarray(devices if devices is not None else jax.devices())
