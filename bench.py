@@ -47,6 +47,17 @@ def main():
     p.add_argument("--rig_impl", type=str, default="pallas",
                    choices=["pallas", "xla"],
                    help="rig sampling backend (pallas: fused kernel)")
+    p.add_argument("--layout", type=str, default="window",
+                   choices=["flat", "window"],
+                   help="rig band layout (window: compact 2D image windows, "
+                        "~2-3x fewer A bytes/FLOPs than flat)")
+    p.add_argument("--buckets", type=int, default=8,
+                   help="max band buckets (DP-optimal edges)")
+    p.add_argument("--train", action="store_true",
+                   help="measure training step throughput instead of "
+                        "inference (fwd + encode + loss + bwd + SGD)")
+    p.add_argument("--data", type=str, default="MultiviewC",
+                   choices=["MultiviewC", "MultiviewX", "Wildtrack"])
     args = p.parse_args()
 
     import jax
@@ -66,18 +77,18 @@ def main():
     import jax.numpy as jnp
 
     from vfa_tpu.codec import decode_frame
-    from vfa_tpu.config import TrainConfig, mc_opts
+    from vfa_tpu.config import TrainConfig, get_config
     from vfa_tpu.data.synthetic import make_calibrations, make_scene
     from vfa_tpu.ops.rig import build_rig, pyramid_feat_shapes
     from vfa_tpu.train_lib import create_model
 
-    cfg = mc_opts
+    cfg = get_config(args.data)
     tcfg = TrainConfig(pretrained=False, compute_dtype=args.dtype)
     rig_impl = "xla" if args.no_rig else args.rig_impl
     model = create_model(cfg, tcfg, rig_impl=rig_impl)
     dtype = jnp.bfloat16 if args.dtype == "bfloat16" else jnp.float32
 
-    dim_mean = jnp.asarray([145.0, 120.0, 255.0])
+    dim_mean = jnp.asarray([145.0, 120.0, 255.0]) if cfg.mode == "3D" else None
 
     rig = None
     if not args.no_rig:
@@ -86,13 +97,51 @@ def main():
 
         g = make_grid(cfg.world_size, cfg.cube_size[:2], cfg.name)
         t_rig = time.perf_counter()
-        # the fused Pallas kernel needs smaller A tiles to fit VMEM
-        tile_v = 160 if rig_impl == "pallas" else 256
+        from vfa_tpu.ops.rig import default_tile_v
+
+        tile_v = default_tile_v(cfg.num_layers, rig_impl, args.layout)
         rig = build_rig(rig_calibs, cfg, g,
                         pyramid_feat_shapes(cfg.resize_size),
                         tile_v=tile_v, dtype=dtype,
+                        layout=args.layout, band_buckets=args.buckets,
                         cache_dir=os.path.expanduser("~/.cache/vfa_tpu_rig"))
         print(f"# rig build: {time.perf_counter() - t_rig:.1f}s", file=sys.stderr)
+
+    def make_train_fn(batch_size):
+        from vfa_tpu.train_lib import init_state, make_train_step
+        from vfa_tpu.utils import pad_objects
+
+        scenes = [make_scene(cfg, seed=s, num_objects=6)
+                  for s in range(batch_size)]
+        objs = [pad_objects(s.objects, 16, cfg.mode) for s in scenes]
+        batch = {
+            "images": jnp.stack([s.images for s in scenes]).astype(dtype),
+            "calibs": jnp.stack([s.calibs for s in scenes]),
+            "grid": jnp.asarray(scenes[0].grid),
+            "heatmap": jnp.stack([s.heatmap for s in scenes]),
+            "location": jnp.stack([o["location"] for o in objs]),
+            "valid": jnp.stack([o["valid"] for o in objs]),
+        }
+        if cfg.mode == "3D":
+            batch["dimension"] = jnp.stack([o["dimension"] for o in objs])
+            batch["rotation"] = jnp.stack([o["rotation"] for o in objs])
+        state, tx = init_state(model, cfg, tcfg, jax.random.PRNGKey(0),
+                               100, batch)
+        if args.dtype == "bfloat16":
+            state = jax.tree_util.tree_map(
+                lambda x: x.astype(jnp.bfloat16)
+                if x.dtype == jnp.float32 else x, state)
+        step = make_train_step(model, tx, cfg, tcfg, dim_mean=dim_mean)
+
+        class Runner:
+            def __init__(self, state):
+                self.state = state
+
+            def __call__(self, batch, rig):
+                self.state, loss = step(self.state, batch, rig)
+                return loss
+
+        return Runner(state), (batch, rig)
 
     def make_fn(batch_size):
         scenes = [make_scene(cfg, seed=s, num_objects=6) for s in range(batch_size)]
@@ -109,14 +158,22 @@ def main():
         def fwd(variables, images, calibs, grid, rig):
             pred = model.apply(variables, images, calibs, grid, rig=rig)
             pred = {k: v.astype(jnp.float32) for k, v in pred.items()}
-            dec = jax.vmap(
-                lambda hm, lo, do, ro: decode_frame(
-                    {"heatmap": hm[None], "loc_offset": lo[None],
-                     "dim_offset": do[None], "rotation": ro[None]},
-                    cfg, cls_thresh=0.7, topk=100, dim_mean=dim_mean,
-                )
-            )(pred["heatmap"], pred["loc_offset"], pred["dim_offset"],
-              pred["rotation"])
+            if cfg.mode == "3D":
+                dec = jax.vmap(
+                    lambda hm, lo, do, ro: decode_frame(
+                        {"heatmap": hm[None], "loc_offset": lo[None],
+                         "dim_offset": do[None], "rotation": ro[None]},
+                        cfg, cls_thresh=0.7, topk=100, dim_mean=dim_mean,
+                    )
+                )(pred["heatmap"], pred["loc_offset"], pred["dim_offset"],
+                  pred["rotation"])
+            else:
+                dec = jax.vmap(
+                    lambda hm, lo: decode_frame(
+                        {"heatmap": hm[None], "loc_offset": lo[None]},
+                        cfg, cls_thresh=0.7, topk=100,
+                    )
+                )(pred["heatmap"], pred["loc_offset"])
             return dec
 
         jfn = jax.jit(fwd)
@@ -124,12 +181,15 @@ def main():
 
     def sync(out):
         # the axon relay's block_until_ready is a no-op; force a host read
-        return float(jnp.sum(out["conf"]))
+        key = "loss" if args.train else "conf"
+        return float(jnp.sum(out[key]))
 
-    batch_sizes = [args.batch] if args.batch else [16, 8, 4, 2, 1]
+    maker = make_train_fn if args.train else make_fn
+    batch_sizes = [args.batch] if args.batch else (
+        [4, 2, 1] if args.train else [16, 8, 4, 2, 1])
     for bs in batch_sizes:
         try:
-            jfn, fargs = make_fn(bs)
+            jfn, fargs = maker(bs)
             sync(jfn(*fargs))  # compile + first run
             break
         except Exception as e:  # noqa: BLE001 — OOM fallback to smaller batch
@@ -157,8 +217,18 @@ def main():
         f"(dtype={args.dtype}, device={jax.devices()[0].device_kind})",
         file=sys.stderr,
     )
+    if args.train:
+        print(json.dumps({
+            "metric": f"{args.data.lower()}_{cfg.num_cam}cam_train_scenes_per_sec_per_chip",
+            "value": round(scenes_per_sec, 3),
+            "unit": "scenes/sec",
+            "vs_baseline": round(scenes_per_sec / BASELINE_SCENES_PER_SEC, 4),
+        }))
+        return
     print(json.dumps({
-        "metric": "multiviewc_7cam_scenes_per_sec_per_chip",
+        "metric": f"{args.data.lower()}_{cfg.num_cam}cam_scenes_per_sec_per_chip"
+                  if args.data != "MultiviewC"
+                  else "multiviewc_7cam_scenes_per_sec_per_chip",
         "value": round(scenes_per_sec, 3),
         "unit": "scenes/sec",
         "vs_baseline": round(scenes_per_sec / BASELINE_SCENES_PER_SEC, 4),

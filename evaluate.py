@@ -57,6 +57,11 @@ def parse_args():
     p.add_argument("--rig", action="store_true",
                    help="use the compiled-rig fast sampling path (fixed "
                         "calibrations; ~20x faster on TPU)")
+    p.add_argument("--rig_impl", type=str, default="xla",
+                   choices=["xla", "pallas"])
+    p.add_argument("--rig_layout", type=str, default="window",
+                   choices=["flat", "window"])
+    p.add_argument("--rig_buckets", type=int, default=8)
     return p.parse_args()
 
 
@@ -101,7 +106,7 @@ def main():
         dim_mean = ds.dim_mean
 
     # ----------------------------------------------------------- model ----
-    model = create_model(cfg, tcfg)
+    model = create_model(cfg, tcfg, rig_impl=args.rig_impl)
     sample = next(iter(loader))
     batch0 = {k: jnp.asarray(v) for k, v in sample.items()
               if k not in ("objects", "index", "frame")}
@@ -128,12 +133,15 @@ def main():
     rig = None
     if args.rig:
         from vfa_tpu.geometry import make_grid
-        from vfa_tpu.ops.rig import build_rig, pyramid_feat_shapes
+        from vfa_tpu.ops.rig import build_rig, default_tile_v, pyramid_feat_shapes
 
         calibs0 = np.asarray(sample["calibs"][0])
         rig = build_rig(
             calibs0, cfg, make_grid(cfg.world_size, cfg.cube_size[:2], cfg.name),
             pyramid_feat_shapes(cfg.resize_size),
+            tile_v=default_tile_v(cfg.num_layers, args.rig_impl,
+                                  args.rig_layout),
+            layout=args.rig_layout, band_buckets=args.rig_buckets,
             cache_dir=os.path.expanduser("~/.cache/vfa_tpu_rig"),
         )
         print("compiled-rig sampling enabled")

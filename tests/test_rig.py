@@ -148,7 +148,8 @@ def test_bucketed_rig_matches_reference_path(buckets, rng):
                      dtype=jnp.float32)
     rigb = build_rig(calibs, tc, grid, [(fh, fw)], tile_v=16,
                      dtype=jnp.float32, band_buckets=buckets)
-    assert len(rigb.scales[0].A) == buckets
+    # DP edges may merge buckets when that wastes no padding
+    assert 1 <= len(rigb.scales[0].A) <= buckets
     nl = rig1.scales[0].nl
     kernel = jnp.asarray(rng.normal(size=(C * nl, 12)).astype(np.float32))
     bias = jnp.asarray(rng.normal(size=(12,)).astype(np.float32))
@@ -168,8 +169,39 @@ def test_bucketed_rig_matches_reference_path(buckets, rng):
                                rtol=1e-4, atol=1e-5)
 
 
+@pytest.mark.parametrize("layout", ["flat", "window"])
+def test_window_rig_matches_flat(layout, rng):
+    """The 2D-window band layout must reproduce the flat layout exactly
+    (same prefix-folded weights, only regrouped into compact windows)."""
+    tc = tiny_config(wt_opts)
+    grid = make_grid(tc.world_size, tc.cube_size[:2], tc.name)
+    calibs = make_calibrations(tc, 2)
+    fh, fw = tc.resize_size[0] // 8, tc.resize_size[1] // 8
+    B, N, C = 2, 2, 8
+
+    rig_f = build_rig(calibs, tc, grid, [(fh, fw)], tile_v=16,
+                      dtype=jnp.float32)
+    rig_l = build_rig(calibs, tc, grid, [(fh, fw)], tile_v=16,
+                      dtype=jnp.float32, layout=layout, band_buckets=2)
+    if layout == "window":
+        assert rig_l.scales[0].window_hw, "window layout must set window_hw"
+        for (wh, ww), s_b in zip(rig_l.scales[0].window_hw,
+                                 rig_l.scales[0].starts):
+            assert ww % 16 == 0 and wh % 8 == 0
+            assert (np.asarray(s_b)[..., 1] % 8 == 0).all()
+    nl = rig_f.scales[0].nl
+    k = jnp.asarray(rng.normal(size=(C * nl, 12)).astype(np.float32))
+    b = jnp.asarray(rng.normal(size=(12,)).astype(np.float32))
+    lat = jnp.asarray(rng.normal(size=(B, N, fh, fw, C)).astype(np.float32))
+    of = rig_sample_scale(lat, rig_f.scales[0], k, b)
+    ol = rig_sample_scale(lat, rig_l.scales[0], k, b)
+    np.testing.assert_allclose(np.asarray(ol), np.asarray(of),
+                               rtol=1e-5, atol=1e-6)
+
+
+@pytest.mark.parametrize("layout", ["flat", "window"])
 @pytest.mark.parametrize("buckets", [1, 2])
-def test_pallas_rig_vjp_matches_xla_interpret(buckets, rng):
+def test_pallas_rig_vjp_matches_xla_interpret(buckets, layout, rng):
     """The hand-written backward kernel (transposed banded matmul) must
     produce the same lat/kernel gradients as XLA autodiff of the scan
     formulation (fp32, interpret mode)."""
@@ -181,7 +213,7 @@ def test_pallas_rig_vjp_matches_xla_interpret(buckets, rng):
     calibs = make_calibrations(tc, 2)
     shapes = pyramid_feat_shapes(tc.resize_size)
     rig = build_rig(calibs, tc, grid, shapes[:1], tile_v=16,
-                    dtype=jnp.float32, band_buckets=buckets)
+                    dtype=jnp.float32, band_buckets=buckets, layout=layout)
     sr = rig.scales[0]
     B, N, C = 2, 2, 8
     fh, fw = shapes[0]

@@ -35,19 +35,30 @@ def _check_rig(sr, cfg, tile_v, feat_hw, buckets):
     n_tiles = -(-V2d // tile_v)
     P = feat_hw[0] * feat_hw[1]
 
-    assert len(sr.A) == min(buckets, n_tiles)
+    assert 1 <= len(sr.A) <= min(buckets, n_tiles)
     total_tiles = 0
     total_bytes = 0
-    for A_b, s_b in zip(sr.A, sr.starts):
+    for bi, (A_b, s_b) in enumerate(zip(sr.A, sr.starts)):
         band = A_b.shape[-1]
-        assert band % 8 == 0, "band width must be 8-aligned for Mosaic DMA"
         assert A_b.shape == (NUM_CAM, s_b.shape[1], sr.nl * tile_v, band)
         starts = np.asarray(s_b)
         assert starts.shape[0] == NUM_CAM
-        assert (starts % 8 == 0).all(), "band starts must be 8-aligned"
         assert (starts >= 0).all()
-        # apply-time padding is max_band rows; any start <= P-1 slices safely
-        assert (starts <= max(P - 1, 0)).all()
+        if sr.window_hw:
+            wh, ww = sr.window_hw[bi]
+            assert band == wh * ww
+            assert wh % 8 == 0 and ww % 16 == 0, \
+                "window dims must align for the on-chip reshape"
+            assert starts.shape[-1] == 2
+            fh, fw = feat_hw
+            assert (starts[..., 0] <= max(fh - 1, 0)).all()
+            assert (starts[..., 1] % 8 == 0).all(), "col starts 8-aligned"
+            assert (starts[..., 1] <= max(fw - 1, 0)).all()
+        else:
+            assert band % 8 == 0, "band width must be 8-aligned (Mosaic DMA)"
+            assert (starts % 8 == 0).all(), "band starts must be 8-aligned"
+            # apply-time padding is max_band rows; start <= P-1 slices safely
+            assert (starts <= max(P - 1, 0)).all()
         total_tiles += A_b.shape[1]
         total_bytes += A_b.size * A_b.dtype.itemsize
     assert total_tiles == n_tiles, "bucket edges must tile the tile axis"
@@ -89,9 +100,11 @@ def test_fullscale_rig_invariants(cfg):
     tile_v = 256
 
     masses = []
-    for buckets in (1, 4):
+    for layout, buckets in (("flat", 1), ("flat", 4), ("window", 4)):
         rig = build_rig(calibs, cfg, grid, [feat_hw], tile_v=tile_v,
-                        dtype=jnp.float32, band_buckets=buckets)
+                        dtype=jnp.float32, band_buckets=buckets,
+                        layout=layout)
         masses.append(_check_rig(rig.scales[0], cfg, tile_v, feat_hw, buckets))
-    # rebucketing reorders tiles but must preserve per-camera total mass
+    # relayout/rebucketing reorders tiles but must preserve per-camera mass
     np.testing.assert_allclose(masses[0], masses[1], rtol=1e-10)
+    np.testing.assert_allclose(masses[0], masses[2], rtol=1e-10)

@@ -88,6 +88,11 @@ def parse_args():
                    help="rig sampling backend; 'pallas' runs the fused "
                         "kernel with its hand-written VJP for both "
                         "training and eval")
+    p.add_argument("--rig_layout", type=str, default="window",
+                   choices=["flat", "window"],
+                   help="rig band layout (window: compact 2D image windows)")
+    p.add_argument("--rig_buckets", type=int, default=8,
+                   help="max band-width buckets (DP-optimal edges)")
     # Multi-host (SURVEY §2.9): one JAX process per host; data axis spans
     # hosts over DCN, cam axis stays on ICI. Single-process (the default
     # --num_processes 1) is the tested degenerate path.
@@ -242,12 +247,15 @@ def main():
         from vfa_tpu.geometry import make_grid
         from vfa_tpu.ops.rig import build_rig, pyramid_feat_shapes
 
+        from vfa_tpu.ops.rig import default_tile_v
+
         rig = build_rig(
             np.asarray(sample["calibs"][0]), cfg,
             make_grid(cfg.world_size, cfg.cube_size[:2], cfg.name),
             pyramid_feat_shapes(cfg.resize_size),
-            # the fused Pallas kernel needs smaller A tiles to fit VMEM
-            tile_v=160 if args.rig_impl == "pallas" else 256,
+            tile_v=default_tile_v(cfg.num_layers, args.rig_impl,
+                                  args.rig_layout),
+            layout=args.rig_layout, band_buckets=args.rig_buckets,
             cache_dir=os.path.expanduser("~/.cache/vfa_tpu_rig"),
         )
         print("compiled-rig sampling enabled")

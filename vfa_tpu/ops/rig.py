@@ -45,15 +45,27 @@ class ScaleRig:
     bf16 box *differences* of them are ~400% wrong, while raw features are
     O(1) and MXU-accumulated in fp32 (measured ~1e-2 relative).
     on_raw=False keeps the 16-tap integral-image form (applies to cumsum'd
-    features)."""
+    features).
 
-    A: tuple                # per band bucket: (N, T_b, nl*TILE_V, band_b)
-    starts: tuple           # per bucket: (N, T_b) int32 band start (flat px)
+    Two band layouts:
+      * flat (window_hw == ()): a band is `band_b` contiguous flat pixels;
+        `starts[b]` is (N, T_b) int32 flat-pixel band starts. A flat band
+        must span dy rows x full feature width, so most of it is padding.
+      * window (window_hw[b] == (wh_b, ww_b)): a band is a 2D image window,
+        flattened row-major to wh_b*ww_b columns; `starts[b]` is
+        (N, T_b, 2) int32 (row, col) window origins, cells are ordered by
+        the Morton code of their projected box center so each tile's
+        support is a compact rectangle. ~3x fewer A bytes / FLOPs than
+        flat on the supported datasets."""
+
+    A: tuple                # per bucket: (N, T_b, nl*TILE_V, band_b)
+    starts: tuple           # per bucket: (N, T_b) or (N, T_b, 2) int32
     inv_perm: jnp.ndarray   # (N, V2d) int32: BEV cell -> padded sorted row
     feat_hw: Tuple[int, int]
     nl: int
     tile_v: int
     on_raw: bool = True
+    window_hw: tuple = ()   # per bucket (wh_b, ww_b); () = flat layout
 
 
 @dataclasses.dataclass
@@ -64,6 +76,20 @@ class CameraRig:
 
 def _round_up(x: int, m: int) -> int:
     return (x + m - 1) // m * m
+
+
+def default_tile_v(nl: int, rig_impl: str = "pallas",
+                   layout: str = "window") -> int:
+    """BEV-cells-per-tile that fits each kernel's VMEM budget.
+
+    The XLA scan path has no VMEM constraint (256 = best MXU shape); the
+    Pallas kernels hold an (nl*tile_v, band) A tile on-chip, so nl=8
+    datasets (MultiviewX/Wildtrack window layout) need smaller tiles."""
+    if rig_impl != "pallas":
+        return 256
+    if layout == "window" and nl > 5:
+        return 128
+    return 160
 
 
 def pyramid_feat_shapes(resize_size) -> List[Tuple[int, int]]:
@@ -269,6 +295,252 @@ def _raster_fill(A_cam, cfg, calib, grid, feat_hw, crange, starts,
     np.add.at(A_cam, (t[ok] - tile_lo, row[ok], col[ok]), val[ok])
 
 
+def _raster_triplets(calib, cfg, grid, feat_hw, crange):
+    """Vectorized rasterization of every visible voxel box: returns
+    (iy, ix, val, layer, cell) int64/float64 entry arrays — the prefix-folded
+    A values at pixel (iy, ix) for voxel (layer, cell). Shared by the flat
+    and window fill paths."""
+    fh, fw = feat_hw
+    xl, xr, yt, yb, scale = _np_box_profiles(calib, cfg, grid, feat_hw, crange)
+    nl, V2d = scale.shape
+
+    px = _axis_params(xl.ravel(), xr.ravel(), fw)
+    py = _axis_params(yt.ravel(), yb.ravel(), fh)
+    nx, ny = px[9], py[9]
+    vis = scale.ravel() > 0
+    sel = np.nonzero(vis & (nx > 0) & (ny > 0))[0]
+
+    nx_s, ny_s = nx[sel], ny[sel]
+    total = nx_s * ny_s
+    n_entries = int(total.sum())
+    vox = np.repeat(np.arange(len(sel)), total)
+    offs = np.concatenate([[0], np.cumsum(total)[:-1]])
+    k = np.arange(n_entries) - np.repeat(offs, total)
+    a = k // nx_s[vox]
+    b = k % nx_s[vox]
+
+    gsel = sel[vox]
+    iy = py[8][gsel] + a
+    ix = px[8][gsel] + b
+    dyv = _axis_value(iy, *[p[gsel] for p in py[:8]])
+    dxv = _axis_value(ix, *[p[gsel] for p in px[:8]])
+    val = dyv * dxv * scale.ravel()[gsel]
+    return iy, ix, val, gsel // V2d, gsel % V2d
+
+
+def _dp_bucket_edges(wh, ww, nb, pad_h, pad_w, band_cap=None):
+    """Optimal bucket split points minimizing total padded A bytes.
+
+    wh/ww: (num_cam, T) per-tile dims AFTER each camera's own area-ascending
+    tile sort. Buckets are ranges over the sorted tile index shared by all
+    cameras; bucket cost = count * sum_cam pad(max wh) * pad(max ww). Equal
+    tile-count buckets waste hugely when a few tiles are pathologically
+    large (cells close to a camera); the DP puts those in a tiny bucket.
+    O(nb * T^2), T ~ a few hundred."""
+    num_cam, T = wh.shape
+    ru = lambda v, m: (v + m - 1) // m * m
+
+    cost = np.zeros((T + 1, T + 1))
+    for i in range(T):
+        mh = wh[:, i].copy()
+        mw = ww[:, i].copy()
+        for j in range(i + 1, T + 1):
+            if j > i + 1:
+                np.maximum(mh, wh[:, j - 1], out=mh)
+                np.maximum(mw, ww[:, j - 1], out=mw)
+            bands = ru(mh, pad_h) * ru(mw, pad_w)
+            if band_cap is not None and bands.max() > band_cap:
+                # padded band would blow the kernel's VMEM budget: forbid
+                cost[i, j] = np.inf
+            else:
+                cost[i, j] = (j - i) * int(bands.sum())
+
+    INF = float("inf")
+    dp = np.full((nb + 1, T + 1), INF)
+    back = np.zeros((nb + 1, T + 1), np.int64)
+    dp[0, 0] = 0.0
+    for b in range(1, nb + 1):
+        for j in range(b, T + 1):
+            ks = np.arange(b - 1, j)
+            vals = dp[b - 1, ks] + cost[ks, j]
+            k = int(ks[np.argmin(vals)])
+            dp[b, j] = vals.min()
+            back[b, j] = k
+    if not np.isfinite(dp[1:, T]).any():
+        raise ValueError(
+            f"no bucketing fits the VMEM band cap {band_cap}: a single tile's "
+            "window exceeds it — reduce tile_v (smaller A tiles) or use the "
+            "flat layout / XLA path for this configuration")
+    b_best = int(np.argmin(dp[1:, T])) + 1
+    edges = [T]
+    b, j = b_best, T
+    while b > 0:
+        j = int(back[b, j])
+        edges.append(j)
+        b -= 1
+    return sorted(set(edges))
+
+
+def _hilbert(y: np.ndarray, x: np.ndarray, bits: int = 11) -> np.ndarray:
+    """Hilbert-curve index of (y, x) on a 2^bits grid (vectorized xy2d).
+
+    Unlike Morton order, consecutive Hilbert indices are spatially adjacent
+    — no quadrant-boundary jumps — so every run of `tile_v` cells stays a
+    compact blob and tile bounding windows stay small (a Morton-ordered
+    build produced seam tiles spanning 56 image rows where the geometry
+    needs ~16)."""
+    x = x.astype(np.int64).copy()
+    y = y.astype(np.int64).copy()
+    d = np.zeros_like(x)
+    s = np.int64(1) << (bits - 1)
+    while s > 0:
+        rx = ((x & s) > 0).astype(np.int64)
+        ry = ((y & s) > 0).astype(np.int64)
+        d += s * s * ((3 * rx) ^ ry)
+        # rotate quadrant
+        flip = (ry == 0) & (rx == 1)
+        x2 = np.where(flip, s - 1 - x, x)
+        y2 = np.where(flip, s - 1 - y, y)
+        swap = ry == 0
+        x, y = np.where(swap, y2, x2), np.where(swap, x2, y2)
+        s >>= 1
+    return d
+
+
+def _build_scale_window(calibs, cfg, grid, feat_hw, crange, tile_v,
+                        band_buckets):
+    """Window-layout build for one feature scale: cells Morton-ordered by
+    projected box center, each tile of `tile_v` cells sampled from one
+    compact 2D image window instead of a full-width flat band.
+
+    Returns (A_buckets fp32 list, starts list of (N, T_b, 2) int32,
+    window_hw list of (wh_b, ww_b), inv_perm (N, V2d) int32, nl)."""
+    fh, fw = feat_hw
+    num_cam = calibs.shape[0]
+    V2d = grid.shape[0] * grid.shape[1]
+    v2d_pad = _round_up(V2d, tile_v)
+    n_tiles = v2d_pad // tile_v
+    nb = max(1, min(band_buckets, n_tiles))
+
+    per_cam = []
+    nl = None
+    for cam in range(num_cam):
+        xl, xr, yt, yb, scale = _np_box_profiles(
+            calibs[cam], cfg, grid, feat_hw, crange)
+        nl = scale.shape[0]
+        px = _axis_params(xl.ravel(), xr.ravel(), fw)
+        py = _axis_params(yt.ravel(), yb.ravel(), fh)
+        vis = (scale.ravel() > 0) & (px[9] > 0) & (py[9] > 0)
+        y0, ny = py[8], py[9]
+        x0, nx = px[8], px[9]
+
+        # Morton order of the mean visible box center (pixel coords)
+        v2 = vis.reshape(nl, V2d)
+        cnt = v2.sum(0)
+        cx = np.clip((xl + xr) * 0.5, 0, fw - 1)
+        cy = np.clip((yt + yb) * 0.5, 0, fh - 1)
+        mx = (cx * v2).sum(0) / np.maximum(cnt, 1)
+        my = (cy * v2).sum(0) / np.maximum(cnt, 1)
+        qx = np.clip(mx / fw * 2048, 0, 2047).astype(np.int64)
+        qy = np.clip(my / fh * 2048, 0, 2047).astype(np.int64)
+        key = np.where(cnt > 0, _hilbert(qy, qx), np.int64(1) << 60)
+        order = np.argsort(key, kind="stable")
+        pos = np.empty(V2d, np.int64)
+        pos[order] = np.arange(V2d)
+        t_of_cell = pos // tile_v
+
+        # per-tile bounding window over the rasterized spans
+        big = np.iinfo(np.int64).max
+        ry = np.full(n_tiles, big)
+        y1t = np.full(n_tiles, -1)
+        rx = np.full(n_tiles, big)
+        x1t = np.full(n_tiles, -1)
+        cell_f = np.tile(np.arange(V2d), nl)
+        t_flat = t_of_cell[cell_f][vis]
+        np.minimum.at(ry, t_flat, y0[vis])
+        np.maximum.at(y1t, t_flat, (y0 + ny - 1)[vis])
+        np.minimum.at(rx, t_flat, x0[vis])
+        np.maximum.at(x1t, t_flat, (x0 + nx - 1)[vis])
+        empty = y1t < 0
+        ry = np.where(empty, 0, ry)
+        rx = np.where(empty, 0, (rx // 8) * 8)  # 8-aligned DMA col start
+        wh = np.where(empty, 1, y1t - ry + 1)
+        ww = np.where(empty, 8, x1t - rx + 1)
+        per_cam.append((order, ry, rx, wh, ww))
+
+    # bucket tiles by window area with DP-optimal edges; bucket dims pad to
+    # the in-bucket max
+    tperms = []
+    whs = np.zeros((num_cam, n_tiles), np.int64)
+    wws = np.zeros((num_cam, n_tiles), np.int64)
+    for cam in range(num_cam):
+        _, ry, rx, wh, ww = per_cam[cam]
+        tperm = np.argsort(wh * ww, kind="stable")
+        tperms.append(tperm)
+        whs[cam] = wh[tperm]
+        wws[cam] = ww[tperm]
+    # VMEM budget for the Pallas kernels (16 MB/core): A tile (bf16, manual
+    # single buffer) + feature window (bf16) + fp32 gradient window, with
+    # ~2.5 MB headroom for Kr/dKr/out blocks and the g tile
+    rows = nl * tile_v
+    band_cap = int(11.5e6) // (rows * 2 + 256 * 6)
+    edges = _dp_bucket_edges(whs, wws, nb, 8, 16, band_cap=band_cap)
+    nb = len(edges) - 1
+    # wh*ww multiple of 128 (lane tiling) and ww 16-aligned: the in-kernel
+    # (wh, ww, C) -> (wh*ww, C) reshape is layout-free when ww is a multiple
+    # of the sublane tile (16 covers bf16 and fp32)
+    wh_b = [_round_up(int(whs[:, edges[b]:edges[b + 1]].max()), 8)
+            for b in range(nb)]
+    ww_b = [_round_up(int(wws[:, edges[b]:edges[b + 1]].max()), 16)
+            for b in range(nb)]
+
+    A_buckets = [
+        np.zeros((num_cam, edges[b + 1] - edges[b], nl * tile_v,
+                  wh_b[b] * ww_b[b]), np.float32)
+        for b in range(nb)
+    ]
+    starts_buckets = [
+        np.zeros((num_cam, edges[b + 1] - edges[b], 2), np.int32)
+        for b in range(nb)
+    ]
+    inv_perm = np.zeros((num_cam, V2d), np.int32)
+    for cam in range(num_cam):
+        order, ry, rx, wh, ww = per_cam[cam]
+        tperm = tperms[cam]
+        padded = np.full(n_tiles * tile_v, -1, np.int64)
+        padded[:V2d] = order
+        padded2 = np.concatenate([
+            padded[t * tile_v:(t + 1) * tile_v] for t in tperm])
+        pos = np.empty(V2d, np.int64)
+        valid_slots = padded2 >= 0
+        pos[padded2[valid_slots]] = np.nonzero(valid_slots)[0]
+        inv_perm[cam] = pos
+        t_of_cell = pos // tile_v
+        vi_of_cell = pos % tile_v
+        ry2, rx2 = ry[tperm], rx[tperm]
+        for b in range(nb):
+            starts_buckets[b][cam, :, 0] = ry2[edges[b]:edges[b + 1]]
+            starts_buckets[b][cam, :, 1] = rx2[edges[b]:edges[b + 1]]
+
+        iy, ix, val, layer, cell = _raster_triplets(
+            calibs[cam], cfg, np.asarray(grid), feat_hw, crange)
+        t = t_of_cell[cell]
+        row = layer * tile_v + vi_of_cell[cell]
+        oy = iy - ry2[t]
+        ox = ix - rx2[t]
+        for b in range(nb):
+            in_bucket = (t >= edges[b]) & (t < edges[b + 1])
+            ok = (oy >= 0) & (oy < wh_b[b]) & (ox >= 0) & (ox < ww_b[b])
+            dropped = in_bucket & ~ok
+            assert np.abs(val[dropped]).max(initial=0.0) == 0.0, \
+                "entry outside window"
+            m = in_bucket & ok
+            col = oy[m] * ww_b[b] + ox[m]
+            np.add.at(A_buckets[b][cam], (t[m] - edges[b], row[m], col),
+                      val[m])
+    return A_buckets, starts_buckets, list(zip(wh_b, ww_b)), inv_perm, nl
+
+
 def build_rig(
     calibs: np.ndarray,
     cfg: DatasetConfig,
@@ -280,14 +552,21 @@ def build_rig(
     cache_dir: str | None = None,
     fold_prefix: bool = True,
     band_buckets: int = 1,
+    layout: str = "flat",
 ) -> CameraRig:
     """Precompute the banded sampling matrices (host, numpy; one-time).
+
+    layout='window' uses the 2D windowed bands (Morton cell order; ~3x
+    smaller A than 'flat'); requires fold_prefix.
 
     With `cache_dir`, the built structures are cached to disk keyed by a
     hash of (calibs, grid, config, shapes) — rebuilds are instant."""
     import hashlib
     import os
 
+    assert layout in ("flat", "window"), layout
+    if layout == "window":
+        assert fold_prefix, "window layout requires fold_prefix"
     num_cam = calibs.shape[0]
     L, W = grid.shape[0], grid.shape[1]
     V2d = L * W
@@ -299,8 +578,8 @@ def build_rig(
             + np.ascontiguousarray(grid, np.float32).tobytes()
             + repr((cfg.name, cfg.grid_h, tuple(cfg.cube_size),
                     tuple(cfg.image_size), tuple(feat_shapes), tile_v,
-                    str(dtype), crange, 'align8', fold_prefix,
-                    band_buckets)).encode()
+                    str(dtype), crange, 'align8.v2-hilbert-dp', fold_prefix,
+                    band_buckets, layout)).encode()
         ).hexdigest()[:16]
         os.makedirs(cache_dir, exist_ok=True)
         cache_path = os.path.join(cache_dir, f"rig_{key}.npz")
@@ -315,11 +594,14 @@ def build_rig(
                 a = tuple(jnp.asarray(z[f"A{i}_{b}"].view(ml_dtypes.bfloat16))
                           for b in range(nb))
                 st = tuple(jnp.asarray(z[f"s{i}_{b}"]) for b in range(nb))
+                win = (tuple(tuple(int(x) for x in z[f"w{i}_{b}"])
+                             for b in range(nb))
+                       if layout == "window" else ())
                 scales.append(ScaleRig(
                     A=a, starts=st,
                     inv_perm=jnp.asarray(z[f"p{i}"]),
                     feat_hw=(fh, fw), nl=int(z[f"nl{i}"]), tile_v=tile_v,
-                    on_raw=fold_prefix,
+                    on_raw=fold_prefix, window_hw=win,
                 ))
             return CameraRig(scales=scales, grid_shape=(L, W))
 
@@ -328,6 +610,31 @@ def build_rig(
     total_a_bytes = 0
     for si, (fh, fw) in enumerate(feat_shapes):
         P = fh * fw
+        if layout == "window":
+            A_bk, s_bk, win_hw, inv_perm, nl = _build_scale_window(
+                calibs, cfg, np.asarray(grid), (fh, fw), crange, tile_v,
+                band_buckets)
+            scales.append(ScaleRig(
+                A=tuple(jnp.asarray(a, dtype) for a in A_bk),
+                starts=tuple(jnp.asarray(s) for s in s_bk),
+                inv_perm=jnp.asarray(inv_perm),
+                feat_hw=(fh, fw), nl=nl, tile_v=tile_v,
+                on_raw=True, window_hw=tuple(win_hw),
+            ))
+            total_a_bytes += sum(
+                a.size * (2 if dtype == jnp.bfloat16 else 4) for a in A_bk)
+            if cache_path:
+                import ml_dtypes
+
+                saved[f"nb{si}"] = len(A_bk)
+                for b in range(len(A_bk)):
+                    saved[f"A{si}_{b}"] = A_bk[b].astype(
+                        ml_dtypes.bfloat16).view(np.uint16)
+                    saved[f"s{si}_{b}"] = s_bk[b]
+                    saved[f"w{si}_{b}"] = np.asarray(win_hw[b], np.int64)
+                saved[f"p{si}"] = inv_perm
+                saved[f"nl{si}"] = nl
+            continue
         per_cam = [
             _np_taps(calibs[cam], cfg, np.asarray(grid), (fh, fw), crange)
             for cam in range(num_cam)
@@ -380,22 +687,32 @@ def build_rig(
             tile_starts_all.append((starts, spans))
 
         # band buckets: per camera, reorder tiles ascending by span; bucket
-        # b covers the same tile-count range in every camera, padded to the
-        # max span within the bucket (instead of the global max)
+        # b covers the same sorted-tile range in every camera, padded to the
+        # max span within the bucket; edges are DP-optimal (pathologically
+        # wide tiles land in a small bucket instead of inflating T/nb tiles)
         nb = max(1, min(band_buckets, n_tiles))
-        edges = [0] + [n_tiles * (k + 1) // nb for k in range(nb)]
         tperms = []
-        bucket_bands = [8] * nb
+        spans_sorted = np.zeros((num_cam, n_tiles), np.int64)
         for cam_i in range(num_cam):
             starts, spans = tile_starts_all[cam_i]
             tperm = np.argsort(spans, kind="stable")
             tperms.append(tperm)
-            for b in range(nb):
-                seg = tperm[edges[b]:edges[b + 1]]
-                if len(seg):
-                    bucket_bands[b] = max(bucket_bands[b],
-                                          int(spans[seg].max()))
-        bucket_bands = [_round_up(bb, 8) for bb in bucket_bands]
+            spans_sorted[cam_i] = spans[tperm]
+        # flat kernel keeps A in a double-buffered BlockSpec: cap its band
+        # so the pipeline fits VMEM (only binding for exotic tile_v values)
+        flat_cap = int(12e6) // (nl * tile_v * 4 + 1024)
+        # stay feasible even when one tile alone exceeds the cap (the flat
+        # path always compiled historically; the cap only discourages
+        # grouping wide tiles with narrow ones)
+        flat_cap = max(flat_cap, _round_up(int(spans_sorted.max()), 8))
+        edges = _dp_bucket_edges(
+            spans_sorted, np.ones_like(spans_sorted), nb, 8, 1,
+            band_cap=flat_cap)
+        nb = len(edges) - 1
+        bucket_bands = [
+            _round_up(max(8, int(spans_sorted[:, edges[b]:edges[b + 1]].max())), 8)
+            for b in range(nb)
+        ]
         band = max(bucket_bands)
 
         A_buckets = [
@@ -488,7 +805,7 @@ def build_rig(
 
 jax.tree_util.register_dataclass(
     ScaleRig, data_fields=["A", "starts", "inv_perm"],
-    meta_fields=["feat_hw", "nl", "tile_v", "on_raw"],
+    meta_fields=["feat_hw", "nl", "tile_v", "on_raw", "window_hw"],
 )
 jax.tree_util.register_dataclass(
     CameraRig, data_fields=["scales"], meta_fields=["grid_shape"],
@@ -511,31 +828,48 @@ def rig_sample_scale(lat, rig: ScaleRig, collapse_kernel, collapse_bias,
     nl, tile_v = rig.nl, rig.tile_v
     out_dtype = out_dtype or lat.dtype
 
-    if rig.on_raw:
-        ii = lat.reshape(B, N, P, C)      # prefix-folded A: raw features
+    if rig.window_hw:
+        # 2D window layout: features stay (N, B, fh, fw, C); each tile
+        # slices its compact (wh, ww) window instead of a flat band
+        assert rig.on_raw
+        ii = jnp.swapaxes(lat, 0, 1)                  # (N, B, fh, fw, C)
+        max_wh = max(h for h, _ in rig.window_hw)
+        max_ww = max(w for _, w in rig.window_hw)
+        ii = jnp.pad(ii, ((0, 0), (0, 0), (0, max_wh), (0, max_ww), (0, 0)))
     else:
-        ii = jnp.cumsum(jnp.cumsum(lat, axis=3), axis=2).reshape(B, N, P, C)
-    ii = jnp.swapaxes(ii, 0, 1)                       # (N, B, P, C)
-    max_band = max(a.shape[-1] for a in rig.A)
-    # pad rows so a start near the end never reads past the buffer
-    ii = jnp.pad(ii, ((0, 0), (0, 0), (0, max_band), (0, 0)))
+        if rig.on_raw:
+            ii = lat.reshape(B, N, P, C)  # prefix-folded A: raw features
+        else:
+            ii = jnp.cumsum(jnp.cumsum(lat, axis=3), axis=2).reshape(B, N, P, C)
+        ii = jnp.swapaxes(ii, 0, 1)                   # (N, B, P, C)
+        max_band = max(a.shape[-1] for a in rig.A)
+        # pad rows so a start near the end never reads past the buffer
+        ii = jnp.pad(ii, ((0, 0), (0, 0), (0, max_band), (0, 0)))
 
     # collapse kernel regrouped per layer: K[c*nl+l, o] -> Kr[l, c, o]
     Kr = collapse_kernel.reshape(C, nl, -1).transpose(1, 0, 2)
     Kr = Kr.astype(jnp.float32)
 
     outs = []
-    for A_b, s_b in zip(rig.A, rig.starts):
+    for bi, (A_b, s_b) in enumerate(zip(rig.A, rig.starts)):
         band = A_b.shape[-1]
+        win = rig.window_hw[bi] if rig.window_hw else None
 
-        def tile_body(carry, xs, band=band):
-            a_t, s_t = xs                              # (N, nl*tv, band), (N,)
+        def tile_body(carry, xs, band=band, win=win):
+            a_t, s_t = xs                   # (N, nl*tv, band), (N,) | (N, 2)
 
             # remat: recompute the band slice + dots in the backward pass
             # instead of saving per-tile residuals (17 MB per tile otherwise)
             @jax.checkpoint
             def per_cam(a_n, s_n, ii_n):
-                bandv = jax.lax.dynamic_slice_in_dim(ii_n, s_n, band, axis=1)
+                if win is not None:
+                    wh, ww = win
+                    window = jax.lax.dynamic_slice(
+                        ii_n, (0, s_n[0], s_n[1], 0), (B, wh, ww, C))
+                    bandv = window.reshape(B, wh * ww, C)
+                else:
+                    bandv = jax.lax.dynamic_slice_in_dim(
+                        ii_n, s_n, band, axis=1)
                 # (nl*tv, band) @ (B, band, C) -> (B, nl*tv, C)
                 vox = jax.lax.dot_general(
                     bandv, a_n,

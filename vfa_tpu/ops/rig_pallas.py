@@ -71,6 +71,143 @@ def _kernel(starts_ref, ii_hbm, a_ref, kr_ref, out_ref,
     out_ref[0, 0, 0] = acc
 
 
+def _kernel_win(starts_ref, ii_hbm, a_hbm, kr_ref, out_ref,
+                a_buf, band_buf, sem_a, sem, *, nl, tile_v, wh, ww, C, n_out):
+    """Window-layout forward: DMA a compact 2D (wh, ww) feature window and
+    flatten it into the matmul's contraction axis. The (wh, ww, C) ->
+    (wh*ww, C) reshape is layout-free because ww is 16-aligned (sublane
+    tile), so no data movement happens on-chip.
+
+    The A tile is DMA'd manually (single-buffered, fetched once per
+    (camera, tile) and reused across the scene axis): the pipelined
+    BlockSpec double-buffer would blow the 16 MB VMEM budget on the widest
+    bucket (~6 MB tiles)."""
+    n = pl.program_id(0)
+    t = pl.program_id(1)
+    b = pl.program_id(2)
+    n_b = pl.num_programs(2)
+
+    base = 2 * (n * pl.num_programs(1) + t)
+    ry = starts_ref[base]
+    rx = pl.multiple_of(starts_ref[base + 1], 8)
+
+    def dma_a():
+        return pltpu.make_async_copy(a_hbm.at[n, t], a_buf, sem_a)
+
+    def dma(slot, b_idx):
+        return pltpu.make_async_copy(
+            ii_hbm.at[n, b_idx, pl.ds(ry, wh), pl.ds(rx, ww), :],
+            band_buf.at[slot],
+            sem.at[slot],
+        )
+
+    @pl.when(b == 0)
+    def _():
+        dma_a().start()
+        dma(0, b).start()
+
+    @pl.when(b + 1 < n_b)
+    def _():
+        dma((b + 1) % 2, b + 1).start()
+
+    dma(b % 2, b).wait()
+
+    @pl.when(b == 0)
+    def _():
+        dma_a().wait()
+
+    window = band_buf[b % 2].reshape(wh * ww, C)
+    vox = jax.lax.dot_general(
+        a_buf[...], window,
+        dimension_numbers=(((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )                                              # (nl*tv, C)
+    vox = vox.astype(kr_ref.dtype).reshape(nl, tile_v, C)
+    acc = jnp.zeros((tile_v, n_out), jnp.float32)
+    for l in range(nl):
+        acc = acc + jax.lax.dot_general(
+            vox[l], kr_ref[l],
+            dimension_numbers=(((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+    out_ref[0, 0, 0] = acc
+
+
+def _bwd_kernel_win(starts_ref, ii_hbm, a_hbm, kr_ref, g_ref, dii_in_hbm,
+                    dii_hbm, dkr_ref, a_buf, band_buf, dband_buf,
+                    sem_a, sem, dsem, *, nl, tile_v, wh, ww, C, n_out):
+    """Window-layout VJP: same transposed banded matmul as `_bwd_kernel`,
+    with the 2D-window DMA and in-place accumulation into the (fh, fw)
+    gradient image. The A tile is manually single-buffered (see
+    `_kernel_win`)."""
+    n = pl.program_id(0)
+    t = pl.program_id(1)
+    b = pl.program_id(2)
+
+    base = 2 * (n * pl.num_programs(1) + t)
+    ry = starts_ref[base]
+    rx = pl.multiple_of(starts_ref[base + 1], 8)
+
+    def dma_a():
+        return pltpu.make_async_copy(a_hbm.at[n, t], a_buf, sem_a)
+
+    @pl.when(b == 0)
+    def _():
+        dma_a().start()
+
+    cp_in = pltpu.make_async_copy(
+        ii_hbm.at[n, b, pl.ds(ry, wh), pl.ds(rx, ww), :], band_buf, sem)
+    cp_in.start()
+
+    @pl.when((n == 0) & (t == 0) & (b == 0))
+    def _():
+        dkr_ref[:] = jnp.zeros_like(dkr_ref)
+
+    rd = pltpu.make_async_copy(
+        dii_hbm.at[n, b, pl.ds(ry, wh), pl.ds(rx, ww), :], dband_buf, dsem)
+    rd.start()
+
+    g = g_ref[0, 0, 0]                                   # (tile_v, n_out)
+    cp_in.wait()
+
+    @pl.when(b == 0)
+    def _():
+        dma_a().wait()
+
+    window = band_buf[...].reshape(wh * ww, C)
+
+    dband = jnp.zeros((wh * ww, C), jnp.float32)
+    for l in range(nl):
+        a_l = a_buf[l * tile_v:(l + 1) * tile_v]         # (tile_v, wh*ww)
+        vox_l = jax.lax.dot_general(
+            a_l, window,
+            dimension_numbers=(((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )                                                # (tile_v, C)
+        dkr_ref[l] += jax.lax.dot_general(
+            vox_l, g,
+            dimension_numbers=(((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        dv_l = jax.lax.dot_general(
+            g, kr_ref[l],
+            dimension_numbers=(((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )                                                # (tile_v, C)
+        dband += jax.lax.dot_general(
+            a_l.astype(jnp.float32), dv_l,
+            dimension_numbers=(((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )                                                # (wh*ww, C)
+
+    rd.wait()
+    dband_buf[...] += dband.reshape(wh, ww, C)
+    wr = pltpu.make_async_copy(
+        dband_buf, dii_hbm.at[n, b, pl.ds(ry, wh), pl.ds(rx, ww), :], dsem)
+    wr.start()
+    wr.wait()  # the next grid step may touch an overlapping window
+
+
 def _bwd_kernel(starts_ref, ii_hbm, a_ref, kr_ref, g_ref, dii_in_hbm,
                 dii_hbm, dkr_ref, band_buf, dband_buf, sem, dsem,
                 *, nl, tile_v, band, C, n_out):
@@ -145,26 +282,41 @@ def _bwd_kernel(starts_ref, ii_hbm, a_ref, kr_ref, g_ref, dii_in_hbm,
 
 
 def _bucket_fwd_call(starts, ii, A_b, Kr, *, N, T, B, nl, tile_v, band, C,
-                     n_out, interpret):
-    kernel = functools.partial(
-        _kernel, nl=nl, tile_v=tile_v, band=band, C=C, n_out=n_out)
+                     n_out, interpret, window=None):
+    if window is None:
+        kernel = functools.partial(
+            _kernel, nl=nl, tile_v=tile_v, band=band, C=C, n_out=n_out)
+        a_spec = pl.BlockSpec((1, 1, nl * tile_v, band),
+                              lambda n, t, b, *_: (n, t, 0, 0),
+                              memory_space=pltpu.VMEM)
+        scratches = [
+            pltpu.VMEM((2, band, C), ii.dtype),
+            pltpu.SemaphoreType.DMA((2,)),
+        ]
+    else:
+        wh, ww = window
+        kernel = functools.partial(
+            _kernel_win, nl=nl, tile_v=tile_v, wh=wh, ww=ww, C=C, n_out=n_out)
+        # A stays in HBM; the kernel single-buffers it manually
+        a_spec = pl.BlockSpec(memory_space=pl.ANY)
+        scratches = [
+            pltpu.VMEM((nl * tile_v, band), A_b.dtype),
+            pltpu.VMEM((2, wh, ww, C), ii.dtype),
+            pltpu.SemaphoreType.DMA(()),
+            pltpu.SemaphoreType.DMA((2,)),
+        ]
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
         grid=(N, T, B),
         in_specs=[
             pl.BlockSpec(memory_space=pl.ANY),              # ii (HBM)
-            pl.BlockSpec((1, 1, nl * tile_v, band),
-                         lambda n, t, b, *_: (n, t, 0, 0),
-                         memory_space=pltpu.VMEM),          # A tile
+            a_spec,                                         # A tile
             pl.BlockSpec(memory_space=pltpu.VMEM),          # Kr
         ],
         out_specs=pl.BlockSpec(
             (1, 1, 1, tile_v, n_out), lambda n, t, b, *_: (n, t, b, 0, 0),
             memory_space=pltpu.VMEM),
-        scratch_shapes=[
-            pltpu.VMEM((2, band, C), ii.dtype),
-            pltpu.SemaphoreType.DMA((2,)),
-        ],
+        scratch_shapes=scratches,
     )
     return pl.pallas_call(
         kernel,
@@ -178,18 +330,42 @@ def _bucket_fwd_call(starts, ii, A_b, Kr, *, N, T, B, nl, tile_v, band, C,
 
 
 def _bucket_bwd_call(starts, ii, A_b, Kr, g, *, N, T, B, nl, tile_v, band, C,
-                     n_out, interpret):
-    P_pad = ii.shape[2]
-    kernel = functools.partial(
-        _bwd_kernel, nl=nl, tile_v=tile_v, band=band, C=C, n_out=n_out)
+                     n_out, interpret, window=None):
+    if window is None:
+        kernel = functools.partial(
+            _bwd_kernel, nl=nl, tile_v=tile_v, band=band, C=C, n_out=n_out)
+        dii_shape = (N, B, ii.shape[2], C)
+        a_spec = pl.BlockSpec((1, 1, nl * tile_v, band),
+                              lambda n, t, b, *_: (n, t, 0, 0),
+                              memory_space=pltpu.VMEM)
+        scratches = [
+            pltpu.VMEM((band, C), ii.dtype),                # feature band
+            pltpu.VMEM((band, C), jnp.float32),             # dII band
+            pltpu.SemaphoreType.DMA(()),
+            pltpu.SemaphoreType.DMA(()),
+        ]
+    else:
+        wh, ww = window
+        kernel = functools.partial(
+            _bwd_kernel_win, nl=nl, tile_v=tile_v, wh=wh, ww=ww, C=C,
+            n_out=n_out)
+        dii_shape = (N, B, ii.shape[2], ii.shape[3], C)
+        # A stays in HBM; the kernel single-buffers it manually
+        a_spec = pl.BlockSpec(memory_space=pl.ANY)
+        scratches = [
+            pltpu.VMEM((nl * tile_v, band), A_b.dtype),     # A tile
+            pltpu.VMEM((wh, ww, C), ii.dtype),              # feature window
+            pltpu.VMEM((wh, ww, C), jnp.float32),           # dII window
+            pltpu.SemaphoreType.DMA(()),
+            pltpu.SemaphoreType.DMA(()),
+            pltpu.SemaphoreType.DMA(()),
+        ]
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
         grid=(N, T, B),
         in_specs=[
             pl.BlockSpec(memory_space=pl.ANY),              # ii (HBM)
-            pl.BlockSpec((1, 1, nl * tile_v, band),
-                         lambda n, t, b, *_: (n, t, 0, 0),
-                         memory_space=pltpu.VMEM),          # A tile
+            a_spec,                                         # A tile
             pl.BlockSpec(memory_space=pltpu.VMEM),          # Kr
             pl.BlockSpec((1, 1, 1, tile_v, n_out),
                          lambda n, t, b, *_: (n, t, b, 0, 0),
@@ -201,19 +377,14 @@ def _bucket_bwd_call(starts, ii, A_b, Kr, g, *, N, T, B, nl, tile_v, band, C,
             pl.BlockSpec((nl, C, n_out), lambda n, t, b, *_: (0, 0, 0),
                          memory_space=pltpu.VMEM),          # dKr (resident)
         ),
-        scratch_shapes=[
-            pltpu.VMEM((band, C), ii.dtype),                # feature band
-            pltpu.VMEM((band, C), jnp.float32),             # dII band
-            pltpu.SemaphoreType.DMA(()),
-            pltpu.SemaphoreType.DMA(()),
-        ],
+        scratch_shapes=scratches,
     )
-    dii_init = jnp.zeros((N, B, P_pad, C), jnp.float32)
+    dii_init = jnp.zeros(dii_shape, jnp.float32)
     dii, dkr = pl.pallas_call(
         kernel,
         grid_spec=grid_spec,
         out_shape=(
-            jax.ShapeDtypeStruct((N, B, P_pad, C), jnp.float32),
+            jax.ShapeDtypeStruct(dii_shape, jnp.float32),
             jax.ShapeDtypeStruct((nl, C, n_out), jnp.float32),
         ),
         # alias the zeros-filled dII init (input 5 counting the scalar
@@ -227,14 +398,15 @@ def _bucket_bwd_call(starts, ii, A_b, Kr, g, *, N, T, B, nl, tile_v, band, C,
     return dii, dkr
 
 
-def _make_bucket_op(*, N, T, B, nl, tile_v, band, C, n_out, interpret):
+def _make_bucket_op(*, N, T, B, nl, tile_v, band, C, n_out, interpret,
+                    window=None):
     """custom-VJP'd per-bucket sampling op: (starts, ii, A, Kr) -> tiles.
 
     The bwd is the hand-written transposed-banded-matmul kernel above; A and
     starts are rig structure (never trained), so their cotangents are a
     DCE'd zeros and a float0."""
     static = dict(N=N, T=T, B=B, nl=nl, tile_v=tile_v, band=band, C=C,
-                  n_out=n_out, interpret=interpret)
+                  n_out=n_out, interpret=interpret, window=window)
 
     @jax.custom_vjp
     def op(starts, ii, A_b, Kr):
@@ -277,25 +449,36 @@ def rig_sample_scale_pallas(lat, rig: ScaleRig, collapse_kernel, collapse_bias,
     # the interpreter so `--rig_impl pallas` works everywhere
     interpret = interpret or jax.default_backend() == "cpu"
 
-    if rig.on_raw:
-        ii = lat.reshape(B, N, P, C)      # prefix-folded A: raw features
+    if rig.window_hw:
+        # 2D window layout: features stay (N, B, fh, fw, C), padded so any
+        # bucket window slices safely
+        assert rig.on_raw
+        ii = jnp.swapaxes(lat, 0, 1)                   # (N, B, fh, fw, C)
+        max_wh = max(h for h, _ in rig.window_hw)
+        max_ww = max(w for _, w in rig.window_hw)
+        ii = jnp.pad(ii, ((0, 0), (0, 0), (0, max_wh), (0, max_ww), (0, 0)))
     else:
-        ii = jnp.cumsum(jnp.cumsum(lat, axis=3), axis=2).reshape(B, N, P, C)
-    ii = jnp.swapaxes(ii, 0, 1)                        # (N, B, P, C)
-    ii = jnp.pad(ii, ((0, 0), (0, 0), (0, max_band), (0, 0)))
+        if rig.on_raw:
+            ii = lat.reshape(B, N, P, C)  # prefix-folded A: raw features
+        else:
+            ii = jnp.cumsum(jnp.cumsum(lat, axis=3), axis=2).reshape(B, N, P, C)
+        ii = jnp.swapaxes(ii, 0, 1)                    # (N, B, P, C)
+        ii = jnp.pad(ii, ((0, 0), (0, 0), (0, max_band), (0, 0)))
 
     # collapse kernel regrouped per layer: K[c*nl+l, o] -> Kr[l, c, o]
     Kr = collapse_kernel.reshape(C, nl, n_out).transpose(1, 0, 2)
     Kr = Kr.astype(lat.dtype)
 
     outs = []
-    for A_b, s_b in zip(rig.A, rig.starts):
+    for bi, (A_b, s_b) in enumerate(zip(rig.A, rig.starts)):
         band = A_b.shape[-1]
         T = A_b.shape[1]
-        starts = s_b.reshape(-1).astype(jnp.int32)     # (N*T,)
+        starts = s_b.reshape(-1).astype(jnp.int32)     # (N*T,) | (N*T*2,)
+        window = rig.window_hw[bi] if rig.window_hw else None
 
         op = _make_bucket_op(N=N, T=T, B=B, nl=nl, tile_v=tile_v, band=band,
-                             C=C, n_out=n_out, interpret=interpret)
+                             C=C, n_out=n_out, interpret=interpret,
+                             window=window)
         tiles = op(starts, ii, A_b, Kr)
 
         outs.append(jnp.transpose(tiles, (0, 2, 1, 3, 4))
