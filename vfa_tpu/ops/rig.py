@@ -88,7 +88,9 @@ def default_tile_v(nl: int, rig_impl: str = "pallas",
     if rig_impl != "pallas":
         return 256
     if layout == "window" and nl > 5:
-        return 128
+        # nl=8 pedestrian grids: (nl*tile_v, band) A tiles only fit the
+        # VMEM band cap with small tiles (measured: 128/96 infeasible)
+        return 64
     return 160
 
 
@@ -333,27 +335,32 @@ def _dp_bucket_edges(wh, ww, nb, pad_h, pad_w, band_cap=None):
 
     wh/ww: (num_cam, T) per-tile dims AFTER each camera's own area-ascending
     tile sort. Buckets are ranges over the sorted tile index shared by all
-    cameras; bucket cost = count * sum_cam pad(max wh) * pad(max ww). Equal
-    tile-count buckets waste hugely when a few tiles are pathologically
-    large (cells close to a camera); the DP puts those in a tiny bucket.
-    O(nb * T^2), T ~ a few hundred."""
+    cameras, and the A arrays are allocated at the CROSS-camera max dims
+    (one shape per bucket), so the cost is count * num_cam * pad(max_all wh)
+    * pad(max_all ww). Equal tile-count buckets waste hugely when a few
+    tiles are pathologically large (cells close to a camera); the DP puts
+    those in a tiny bucket. O(nb * T^2), T ~ a few hundred."""
     num_cam, T = wh.shape
     ru = lambda v, m: (v + m - 1) // m * m
 
+    # cross-camera dims: what actually gets allocated for the shared bucket
+    wh_all = wh.max(axis=0)
+    ww_all = ww.max(axis=0)
+
     cost = np.zeros((T + 1, T + 1))
     for i in range(T):
-        mh = wh[:, i].copy()
-        mw = ww[:, i].copy()
+        mh = int(wh_all[i])
+        mw = int(ww_all[i])
         for j in range(i + 1, T + 1):
             if j > i + 1:
-                np.maximum(mh, wh[:, j - 1], out=mh)
-                np.maximum(mw, ww[:, j - 1], out=mw)
-            bands = ru(mh, pad_h) * ru(mw, pad_w)
-            if band_cap is not None and bands.max() > band_cap:
+                mh = max(mh, int(wh_all[j - 1]))
+                mw = max(mw, int(ww_all[j - 1]))
+            band = ru(mh, pad_h) * ru(mw, pad_w)
+            if band_cap is not None and band > band_cap:
                 # padded band would blow the kernel's VMEM budget: forbid
                 cost[i, j] = np.inf
             else:
-                cost[i, j] = (j - i) * int(bands.sum())
+                cost[i, j] = (j - i) * num_cam * band
 
     INF = float("inf")
     dp = np.full((nb + 1, T + 1), INF)
@@ -479,11 +486,13 @@ def _build_scale_window(calibs, cfg, grid, feat_hw, crange, tile_v,
         tperms.append(tperm)
         whs[cam] = wh[tperm]
         wws[cam] = ww[tperm]
-    # VMEM budget for the Pallas kernels (16 MB/core): A tile (bf16, manual
-    # single buffer) + feature window (bf16) + fp32 gradient window, with
-    # ~2.5 MB headroom for Kr/dKr/out blocks and the g tile
+    # VMEM budget for the Pallas kernels (16 MB/core). Per band element the
+    # bwd kernel holds: the bf16 A tile (manual single buffer, rows*2 B),
+    # the bf16 feature window (C*2), the fp32 gradient-window scratch (C*4)
+    # and the fp32 dband dot output (C*4). ~4.5 MB is reserved for the
+    # dKr/out blocks, Kr, the g tile, small temps and slack.
     rows = nl * tile_v
-    band_cap = int(11.5e6) // (rows * 2 + 256 * 6)
+    band_cap = int(11.5e6) // (rows * 2 + 256 * 10)
     edges = _dp_bucket_edges(whs, wws, nb, 8, 16, band_cap=band_cap)
     nb = len(edges) - 1
     # wh*ww multiple of 128 (lane tiling) and ww 16-aligned: the in-kernel
@@ -578,7 +587,7 @@ def build_rig(
             + np.ascontiguousarray(grid, np.float32).tobytes()
             + repr((cfg.name, cfg.grid_h, tuple(cfg.cube_size),
                     tuple(cfg.image_size), tuple(feat_shapes), tile_v,
-                    str(dtype), crange, 'align8.v2-hilbert-dp', fold_prefix,
+                    str(dtype), crange, 'align8.v3-hilbert-dp-xcam', fold_prefix,
                     band_buckets, layout)).encode()
         ).hexdigest()[:16]
         os.makedirs(cache_dir, exist_ok=True)

@@ -175,8 +175,8 @@ def _bwd_kernel_win(starts_ref, ii_hbm, a_hbm, kr_ref, g_ref, dii_in_hbm,
         dma_a().wait()
 
     window = band_buf[...].reshape(wh * ww, C)
+    rd.wait()
 
-    dband = jnp.zeros((wh * ww, C), jnp.float32)
     for l in range(nl):
         a_l = a_buf[l * tile_v:(l + 1) * tile_v]         # (tile_v, wh*ww)
         vox_l = jax.lax.dot_general(
@@ -194,14 +194,14 @@ def _bwd_kernel_win(starts_ref, ii_hbm, a_hbm, kr_ref, g_ref, dii_in_hbm,
             dimension_numbers=(((1,), (1,)), ((), ())),
             preferred_element_type=jnp.float32,
         )                                                # (tile_v, C)
-        dband += jax.lax.dot_general(
-            a_l.astype(jnp.float32), dv_l,
+        # accumulate straight into the DMA scratch: a separate (wh*ww, C)
+        # fp32 accumulator plus an fp32 copy of a_l blew the VMEM stack
+        dband_buf[...] += jax.lax.dot_general(
+            a_l, dv_l,
             dimension_numbers=(((0,), (0,)), ((), ())),
             preferred_element_type=jnp.float32,
-        )                                                # (wh*ww, C)
+        ).reshape(wh, ww, C)
 
-    rd.wait()
-    dband_buf[...] += dband.reshape(wh, ww, C)
     wr = pltpu.make_async_copy(
         dband_buf, dii_hbm.at[n, b, pl.ds(ry, wh), pl.ds(rx, ww), :], dsem)
     wr.start()
