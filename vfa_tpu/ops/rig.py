@@ -82,16 +82,17 @@ def default_tile_v(nl: int, rig_impl: str = "pallas",
                    layout: str = "window") -> int:
     """BEV-cells-per-tile that fits each kernel's VMEM budget.
 
-    The XLA scan path has no VMEM constraint (256 = best MXU shape); the
-    Pallas kernels hold an (nl*tile_v, band) A tile on-chip, so nl=8
-    datasets (MultiviewX/Wildtrack window layout) need smaller tiles."""
-    if rig_impl != "pallas":
-        return 256
-    if layout == "window" and nl > 5:
-        # nl=8 pedestrian grids: (nl*tile_v, band) A tiles only fit the
-        # VMEM band cap with small tiles (measured: 128/96 infeasible)
-        return 64
-    return 160
+    The window-layout builder enforces the Pallas VMEM band cap regardless
+    of backend (so one rig serves both paths), which bounds tile_v; nl=8
+    datasets (MultiviewX/Wildtrack) need the smallest tiles. The flat XLA
+    scan path has no VMEM constraint (256 = best MXU shape)."""
+    if layout == "window":
+        if nl > 5:
+            # nl=8 pedestrian grids: (nl*tile_v, band) A tiles only fit the
+            # VMEM band cap with small tiles (measured: 128/96 infeasible)
+            return 64
+        return 160
+    return 256 if rig_impl != "pallas" else 160
 
 
 def pyramid_feat_shapes(resize_size) -> List[Tuple[int, int]]:

@@ -71,6 +71,20 @@ def _kernel(starts_ref, ii_hbm, a_ref, kr_ref, out_ref,
     out_ref[0, 0, 0] = acc
 
 
+def _next_step(n, t, b, T, B):
+    """Lexicographic successor of grid step (n, t, b) with b fastest.
+
+    Returns (n2, t2, b2, new_tile): new_tile means (n2, t2) != (n, t)."""
+    b2 = b + 1
+    wrapb = b2 == B
+    b2 = jnp.where(wrapb, 0, b2)
+    t2 = jnp.where(wrapb, t + 1, t)
+    wrapt = t2 == T
+    t2 = jnp.where(wrapt, 0, t2)
+    n2 = jnp.where(wrapt, n + 1, n)
+    return n2, t2, b2, wrapb
+
+
 def _kernel_win(starts_ref, ii_hbm, a_hbm, kr_ref, out_ref,
                 a_buf, band_buf, sem_a, sem, *, nl, tile_v, wh, ww, C, n_out):
     """Window-layout forward: DMA a compact 2D (wh, ww) feature window and
@@ -78,47 +92,71 @@ def _kernel_win(starts_ref, ii_hbm, a_hbm, kr_ref, out_ref,
     (wh*ww, C) reshape is layout-free because ww is 16-aligned (sublane
     tile), so no data movement happens on-chip.
 
-    The A tile is DMA'd manually (single-buffered, fetched once per
-    (camera, tile) and reused across the scene axis): the pipelined
-    BlockSpec double-buffer would blow the 16 MB VMEM budget on the widest
-    bucket (~6 MB tiles)."""
+    Fully pipelined across grid steps: the window for step k+1 (computed
+    from the successor indices — the scalar-prefetched starts make them
+    known) and the A tile for the next (camera, tile) are in flight while
+    step k computes. The A tile is DMA'd manually into a 2-slot scratch:
+    a pipelined BlockSpec double-buffer of A would blow the 16 MB VMEM
+    budget on the widest bucket, but two slots of A + one band window fit
+    under the build-time band cap. Safe at any B: all reads come from
+    read-only inputs."""
     n = pl.program_id(0)
     t = pl.program_id(1)
     b = pl.program_id(2)
-    n_b = pl.num_programs(2)
+    N = pl.num_programs(0)
+    T = pl.num_programs(1)
+    B = pl.num_programs(2)
+    k = b + B * (t + T * n)
+    slot = k % 2
+    first = k == 0
+    last = (n == N - 1) & (t == T - 1) & (b == B - 1)
 
-    base = 2 * (n * pl.num_programs(1) + t)
+    base = 2 * (n * T + t)
     ry = starts_ref[base]
     rx = pl.multiple_of(starts_ref[base + 1], 8)
 
-    def dma_a():
-        return pltpu.make_async_copy(a_hbm.at[n, t], a_buf, sem_a)
+    def dma_a(n_, t_, sl):
+        return pltpu.make_async_copy(a_hbm.at[n_, t_], a_buf.at[sl], sem_a.at[sl])
 
-    def dma(slot, b_idx):
+    def dma_band(sl, n_, b_, ry_, rx_):
         return pltpu.make_async_copy(
-            ii_hbm.at[n, b_idx, pl.ds(ry, wh), pl.ds(rx, ww), :],
-            band_buf.at[slot],
-            sem.at[slot],
+            ii_hbm.at[n_, b_, pl.ds(ry_, wh), pl.ds(rx_, ww), :],
+            band_buf.at[sl],
+            sem.at[sl],
         )
 
+    tt = t + T * n
+    a_sl = tt % 2
+
+    @pl.when(first)
+    def _():
+        dma_a(n, t, a_sl).start()
+        dma_band(slot, n, b, ry, rx).start()
+
+    # prefetch the next step's window (and next tile's A) into the free slot
+    n2, t2, b2, new_tile = _next_step(n, t, b, T, B)
+    n2c = jnp.minimum(n2, N - 1)
+    base2 = 2 * (n2c * T + t2)
+    ry2 = starts_ref[base2]
+    rx2 = pl.multiple_of(starts_ref[base2 + 1], 8)
+
+    @pl.when(jnp.logical_not(last))
+    def _():
+        dma_band(1 - slot, n2c, b2, ry2, rx2).start()
+
+        @pl.when(new_tile)
+        def _():
+            dma_a(n2c, t2, (t2 + T * n2c) % 2).start()
+
+    dma_band(slot, n, b, ry, rx).wait()
+
     @pl.when(b == 0)
     def _():
-        dma_a().start()
-        dma(0, b).start()
+        dma_a(n, t, a_sl).wait()
 
-    @pl.when(b + 1 < n_b)
-    def _():
-        dma((b + 1) % 2, b + 1).start()
-
-    dma(b % 2, b).wait()
-
-    @pl.when(b == 0)
-    def _():
-        dma_a().wait()
-
-    window = band_buf[b % 2].reshape(wh * ww, C)
+    window = band_buf[slot].reshape(wh * ww, C)
     vox = jax.lax.dot_general(
-        a_buf[...], window,
+        a_buf[a_sl], window,
         dimension_numbers=(((1,), (0,)), ((), ())),
         preferred_element_type=jnp.float32,
     )                                              # (nl*tv, C)
@@ -131,6 +169,141 @@ def _kernel_win(starts_ref, ii_hbm, a_hbm, kr_ref, out_ref,
             preferred_element_type=jnp.float32,
         )
     out_ref[0, 0, 0] = acc
+
+
+def _bwd_kernel_win_pipe(starts_ref, ii_hbm, a_hbm, kr_ref, g_ref, dii_in_hbm,
+                         dii_hbm, dkr_ref, a_buf, band_buf, dband_buf,
+                         sem_a, sem_b, sem_d, sem_w,
+                         *, nl, tile_v, wh, ww, C, n_out, a_slots):
+    """Pipelined window VJP: the serial variant waits 4 DMAs per grid step
+    and is pure latency (~6k steps/scene-batch); this one overlaps them.
+
+    Correctness of the overlap: consecutive grid steps process DIFFERENT
+    scenes (b is the fastest axis), so their dII windows live in disjoint
+    HBM slices — the read for step k+1 may fly while step k's write is in
+    flight. Same-scene writes are B steps apart and the 2-slot discipline
+    (a write is waited before its slot is reused, one step later) has them
+    complete before any same-scene read. Requires B >= 2; B == 1 uses the
+    serial kernel. DMA waits only need the byte count, so a descriptor
+    rebuilt with the current step's indices waits a prior step's transfer.
+
+    a_slots=2 additionally prefetches the next tile's A during the current
+    tile's last scene step (static choice: only when 2 A tiles fit VMEM)."""
+    n = pl.program_id(0)
+    t = pl.program_id(1)
+    b = pl.program_id(2)
+    N = pl.num_programs(0)
+    T = pl.num_programs(1)
+    B = pl.num_programs(2)
+    k = b + B * (t + T * n)
+    slot = k % 2
+    first = k == 0
+    last = (n == N - 1) & (t == T - 1) & (b == B - 1)
+
+    base = 2 * (n * T + t)
+    ry = starts_ref[base]
+    rx = pl.multiple_of(starts_ref[base + 1], 8)
+
+    a_sl = (t + T * n) % 2 if a_slots == 2 else 0
+
+    def dma_a(n_, t_, sl):
+        return pltpu.make_async_copy(a_hbm.at[n_, t_], a_buf.at[sl],
+                                     sem_a.at[sl])
+
+    def band_rd(sl, n_, b_, ry_, rx_):
+        return pltpu.make_async_copy(
+            ii_hbm.at[n_, b_, pl.ds(ry_, wh), pl.ds(rx_, ww), :],
+            band_buf.at[sl], sem_b.at[sl])
+
+    def dii_rd(sl, n_, b_, ry_, rx_):
+        return pltpu.make_async_copy(
+            dii_hbm.at[n_, b_, pl.ds(ry_, wh), pl.ds(rx_, ww), :],
+            dband_buf.at[sl], sem_d.at[sl])
+
+    def dii_wr(sl, n_, b_, ry_, rx_):
+        return pltpu.make_async_copy(
+            dband_buf.at[sl],
+            dii_hbm.at[n_, b_, pl.ds(ry_, wh), pl.ds(rx_, ww), :],
+            sem_w.at[sl])
+
+    @pl.when(first)
+    def _():
+        dkr_ref[:] = jnp.zeros_like(dkr_ref)
+        dma_a(n, t, a_sl).start()
+        band_rd(slot, n, b, ry, rx).start()
+        dii_rd(slot, n, b, ry, rx).start()
+
+    n2, t2, b2, new_tile = _next_step(n, t, b, T, B)
+    n2c = jnp.minimum(n2, N - 1)
+    base2 = 2 * (n2c * T + t2)
+    ry2 = starts_ref[base2]
+    rx2 = pl.multiple_of(starts_ref[base2 + 1], 8)
+    nslot = 1 - slot
+
+    @pl.when(jnp.logical_not(last))
+    def _():
+        # the write that used nslot (issued at step k-1) must land before
+        # the slot is refilled
+        @pl.when(jnp.logical_not(first))
+        def _():
+            dii_wr(nslot, n, b, ry, rx).wait()
+
+        band_rd(nslot, n2c, b2, ry2, rx2).start()
+        dii_rd(nslot, n2c, b2, ry2, rx2).start()
+        if a_slots == 2:
+            @pl.when(new_tile)
+            def _():
+                dma_a(n2c, t2, (t2 + T * n2c) % 2).start()
+
+    if a_slots == 1:
+        @pl.when((b == 0) & jnp.logical_not(first))
+        def _():
+            dma_a(n, t, 0).start()
+
+    g = g_ref[0, 0, 0]                                   # (tile_v, n_out)
+    band_rd(slot, n, b, ry, rx).wait()
+    dii_rd(slot, n, b, ry, rx).wait()
+
+    @pl.when(b == 0)
+    def _():
+        dma_a(n, t, a_sl).wait()
+
+    window = band_buf[slot].reshape(wh * ww, C)
+    for l in range(nl):
+        a_l = a_buf[a_sl, l * tile_v:(l + 1) * tile_v]   # (tile_v, wh*ww)
+        vox_l = jax.lax.dot_general(
+            a_l, window,
+            dimension_numbers=(((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )                                                # (tile_v, C)
+        dkr_ref[l] += jax.lax.dot_general(
+            vox_l, g,
+            dimension_numbers=(((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        dv_l = jax.lax.dot_general(
+            g, kr_ref[l],
+            dimension_numbers=(((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )                                                # (tile_v, C)
+        dband_buf[slot] += jax.lax.dot_general(
+            a_l, dv_l,
+            dimension_numbers=(((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        ).reshape(wh, ww, C)
+
+    dii_wr(slot, n, b, ry, rx).start()
+
+    @pl.when(last)
+    def _():
+        # drain: the write issued at step K-2 (other slot) is only waited in
+        # the ~last prefetch block, which the final step skips — wait it
+        # here along with this step's own write
+        @pl.when(jnp.logical_not(first))
+        def _():
+            dii_wr(nslot, n, b, ry, rx).wait()
+
+        dii_wr(slot, n, b, ry, rx).wait()
 
 
 def _bwd_kernel_win(starts_ref, ii_hbm, a_hbm, kr_ref, g_ref, dii_in_hbm,
@@ -297,12 +470,13 @@ def _bucket_fwd_call(starts, ii, A_b, Kr, *, N, T, B, nl, tile_v, band, C,
         wh, ww = window
         kernel = functools.partial(
             _kernel_win, nl=nl, tile_v=tile_v, wh=wh, ww=ww, C=C, n_out=n_out)
-        # A stays in HBM; the kernel single-buffers it manually
+        # A stays in HBM; the kernel 2-slot-buffers it manually (prefetching
+        # the next tile's A during the current tile's last scene step)
         a_spec = pl.BlockSpec(memory_space=pl.ANY)
         scratches = [
-            pltpu.VMEM((nl * tile_v, band), A_b.dtype),
+            pltpu.VMEM((2, nl * tile_v, band), A_b.dtype),
             pltpu.VMEM((2, wh, ww, C), ii.dtype),
-            pltpu.SemaphoreType.DMA(()),
+            pltpu.SemaphoreType.DMA((2,)),
             pltpu.SemaphoreType.DMA((2,)),
         ]
     grid_spec = pltpu.PrefetchScalarGridSpec(
@@ -318,13 +492,18 @@ def _bucket_fwd_call(starts, ii, A_b, Kr, *, N, T, B, nl, tile_v, band, C,
             memory_space=pltpu.VMEM),
         scratch_shapes=scratches,
     )
+    # all-arbitrary: the window kernel pipelines DMA state across EVERY grid
+    # dimension (lexicographic step order is load-bearing), so no axis may
+    # be declared parallel
+    sems = (("arbitrary",) * 3 if window is not None
+            else ("parallel", "arbitrary", "arbitrary"))
     return pl.pallas_call(
         kernel,
         grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct((N, T, B, tile_v, n_out), jnp.float32),
         interpret=interpret,
         compiler_params=pltpu.CompilerParams(
-            dimension_semantics=("parallel", "arbitrary", "arbitrary"),
+            dimension_semantics=sems,
         ),
     )(starts, ii, A_b, Kr)
 
@@ -346,20 +525,43 @@ def _bucket_bwd_call(starts, ii, A_b, Kr, g, *, N, T, B, nl, tile_v, band, C,
         ]
     else:
         wh, ww = window
-        kernel = functools.partial(
-            _bwd_kernel_win, nl=nl, tile_v=tile_v, wh=wh, ww=ww, C=C,
-            n_out=n_out)
+        rows = nl * tile_v
         dii_shape = (N, B, ii.shape[2], ii.shape[3], C)
-        # A stays in HBM; the kernel single-buffers it manually
         a_spec = pl.BlockSpec(memory_space=pl.ANY)
-        scratches = [
-            pltpu.VMEM((nl * tile_v, band), A_b.dtype),     # A tile
-            pltpu.VMEM((wh, ww, C), ii.dtype),              # feature window
-            pltpu.VMEM((wh, ww, C), jnp.float32),           # dII window
-            pltpu.SemaphoreType.DMA(()),
-            pltpu.SemaphoreType.DMA(()),
-            pltpu.SemaphoreType.DMA(()),
-        ]
+        # static pipeline choice: the pipelined kernel needs B >= 2 (scene
+        # disjointness is what makes overlapping the dII RMW safe) and
+        # double-buffered windows in VMEM; A gets 2 slots when they fit
+        # per band element: a_slots*rows*2 (A bf16) + 2*C*2 (band windows)
+        # + 2*C*4 (dII windows) + C*4 (dband dot output)
+        budget = int(11.5e6)
+        fits2 = band * (rows * 4 + 256 * 16) <= budget
+        fits1 = band * (rows * 2 + 256 * 16) <= budget
+        if B >= 2 and (fits1 or fits2):
+            a_slots = 2 if fits2 else 1
+            kernel = functools.partial(
+                _bwd_kernel_win_pipe, nl=nl, tile_v=tile_v, wh=wh, ww=ww,
+                C=C, n_out=n_out, a_slots=a_slots)
+            scratches = [
+                pltpu.VMEM((a_slots, rows, band), A_b.dtype),  # A tiles
+                pltpu.VMEM((2, wh, ww, C), ii.dtype),       # feature windows
+                pltpu.VMEM((2, wh, ww, C), jnp.float32),    # dII windows
+                pltpu.SemaphoreType.DMA((a_slots,)),
+                pltpu.SemaphoreType.DMA((2,)),
+                pltpu.SemaphoreType.DMA((2,)),
+                pltpu.SemaphoreType.DMA((2,)),
+            ]
+        else:
+            kernel = functools.partial(
+                _bwd_kernel_win, nl=nl, tile_v=tile_v, wh=wh, ww=ww, C=C,
+                n_out=n_out)
+            scratches = [
+                pltpu.VMEM((rows, band), A_b.dtype),        # A tile
+                pltpu.VMEM((wh, ww, C), ii.dtype),          # feature window
+                pltpu.VMEM((wh, ww, C), jnp.float32),       # dII window
+                pltpu.SemaphoreType.DMA(()),
+                pltpu.SemaphoreType.DMA(()),
+                pltpu.SemaphoreType.DMA(()),
+            ]
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
         grid=(N, T, B),
