@@ -54,7 +54,7 @@ class ScaleRig:
       * window (window_hw[b] == (wh_b, ww_b)): a band is a 2D image window,
         flattened row-major to wh_b*ww_b columns; `starts[b]` is
         (N, T_b, 2) int32 (row, col) window origins, cells are ordered by
-        the Morton code of their projected box center so each tile's
+        a Hilbert curve of their projected box centers so each tile's
         support is a compact rectangle. ~3x fewer A bytes / FLOPs than
         flat on the supported datasets."""
 
@@ -514,6 +514,12 @@ def _build_scale_window(calibs, cfg, grid, feat_hw, crange, tile_v,
         for b in range(nb)
     ]
     inv_perm = np.zeros((num_cam, V2d), np.int32)
+    # windows sit entirely inside the (8-aligned) feature image: origins are
+    # clamped up/left so origin + bucket dims never overruns — coverage is
+    # preserved (the content edge stays inside the shifted window), and the
+    # apply-time pad shrinks from (+max_wh, +max_ww) to at most 7 px
+    fh_pad = _round_up(fh, 8)
+    fw_pad = _round_up(fw, 16)  # >= every ww_b (which rounds up to 16)
     for cam in range(num_cam):
         order, ry, rx, wh, ww = per_cam[cam]
         tperm = tperms[cam]
@@ -527,10 +533,15 @@ def _build_scale_window(calibs, cfg, grid, feat_hw, crange, tile_v,
         inv_perm[cam] = pos
         t_of_cell = pos // tile_v
         vi_of_cell = pos % tile_v
-        ry2, rx2 = ry[tperm], rx[tperm]
+        ry2, rx2 = ry[tperm].copy(), rx[tperm].copy()
         for b in range(nb):
-            starts_buckets[b][cam, :, 0] = ry2[edges[b]:edges[b + 1]]
-            starts_buckets[b][cam, :, 1] = rx2[edges[b]:edges[b + 1]]
+            seg = slice(edges[b], edges[b + 1])
+            # fh_pad - wh_b may be 0-aligned-any; fw_pad - ww_b stays
+            # 8-aligned (both terms are), so clamped rx keeps DMA alignment
+            ry2[seg] = np.minimum(ry2[seg], max(fh_pad - wh_b[b], 0))
+            rx2[seg] = np.minimum(rx2[seg], max(fw_pad - ww_b[b], 0))
+            starts_buckets[b][cam, :, 0] = ry2[seg]
+            starts_buckets[b][cam, :, 1] = rx2[seg]
 
         iy, ix, val, layer, cell = _raster_triplets(
             calibs[cam], cfg, np.asarray(grid), feat_hw, crange)
@@ -588,7 +599,7 @@ def build_rig(
             + np.ascontiguousarray(grid, np.float32).tobytes()
             + repr((cfg.name, cfg.grid_h, tuple(cfg.cube_size),
                     tuple(cfg.image_size), tuple(feat_shapes), tile_v,
-                    str(dtype), crange, 'align8.v3-hilbert-dp-xcam', fold_prefix,
+                    str(dtype), crange, 'align8.v4-clamped-origins', fold_prefix,
                     band_buckets, layout)).encode()
         ).hexdigest()[:16]
         os.makedirs(cache_dir, exist_ok=True)
@@ -840,12 +851,13 @@ def rig_sample_scale(lat, rig: ScaleRig, collapse_kernel, collapse_bias,
 
     if rig.window_hw:
         # 2D window layout: features stay (N, B, fh, fw, C); each tile
-        # slices its compact (wh, ww) window instead of a flat band
+        # slices its compact (wh, ww) window instead of a flat band. Window
+        # origins are build-time clamped to fit the 8/16-aligned image, so
+        # only alignment padding is needed (<= 7/15 px)
         assert rig.on_raw
         ii = jnp.swapaxes(lat, 0, 1)                  # (N, B, fh, fw, C)
-        max_wh = max(h for h, _ in rig.window_hw)
-        max_ww = max(w for _, w in rig.window_hw)
-        ii = jnp.pad(ii, ((0, 0), (0, 0), (0, max_wh), (0, max_ww), (0, 0)))
+        ii = jnp.pad(ii, ((0, 0), (0, 0), (0, _round_up(fh, 8) - fh),
+                          (0, _round_up(fw, 16) - fw), (0, 0)))
     else:
         if rig.on_raw:
             ii = lat.reshape(B, N, P, C)  # prefix-folded A: raw features

@@ -652,13 +652,14 @@ def rig_sample_scale_pallas(lat, rig: ScaleRig, collapse_kernel, collapse_bias,
     interpret = interpret or jax.default_backend() == "cpu"
 
     if rig.window_hw:
-        # 2D window layout: features stay (N, B, fh, fw, C), padded so any
-        # bucket window slices safely
+        # 2D window layout: features stay (N, B, fh, fw, C); origins are
+        # build-time clamped into the aligned image, so only alignment
+        # padding is needed
         assert rig.on_raw
         ii = jnp.swapaxes(lat, 0, 1)                   # (N, B, fh, fw, C)
-        max_wh = max(h for h, _ in rig.window_hw)
-        max_ww = max(w for _, w in rig.window_hw)
-        ii = jnp.pad(ii, ((0, 0), (0, 0), (0, max_wh), (0, max_ww), (0, 0)))
+        rup = lambda x, m: (x + m - 1) // m * m
+        ii = jnp.pad(ii, ((0, 0), (0, 0), (0, rup(fh, 8) - fh),
+                          (0, rup(fw, 16) - fw), (0, 0)))
     else:
         if rig.on_raw:
             ii = lat.reshape(B, N, P, C)  # prefix-folded A: raw features
