@@ -53,6 +53,9 @@ def main():
                         "~2-3x fewer A bytes/FLOPs than flat)")
     p.add_argument("--buckets", type=int, default=8,
                    help="max band buckets (DP-optimal edges)")
+    p.add_argument("--remat", action="store_true",
+                   help="rematerialize backbone blocks in training "
+                        "(frees activation HBM for larger batches)")
     p.add_argument("--train", action="store_true",
                    help="measure training step throughput instead of "
                         "inference (fwd + encode + loss + bwd + SGD)")
@@ -85,7 +88,8 @@ def main():
     cfg = get_config(args.data)
     tcfg = TrainConfig(pretrained=False, compute_dtype=args.dtype)
     rig_impl = "xla" if args.no_rig else args.rig_impl
-    model = create_model(cfg, tcfg, rig_impl=rig_impl)
+    model = create_model(cfg, tcfg, rig_impl=rig_impl,
+                         backbone_remat=args.remat)
     dtype = jnp.bfloat16 if args.dtype == "bfloat16" else jnp.float32
 
     dim_mean = jnp.asarray([145.0, 120.0, 255.0]) if cfg.mode == "3D" else None
@@ -125,8 +129,12 @@ def main():
         if cfg.mode == "3D":
             batch["dimension"] = jnp.stack([o["dimension"] for o in objs])
             batch["rotation"] = jnp.stack([o["rotation"] for o in objs])
+        # init runs the dynamic voxel path; one scene is enough for params
+        # (the full batch OOMs HBM through the gather formulation)
+        init_batch = {k: (v if k == "grid" else v[:1])
+                      for k, v in batch.items()}
         state, tx = init_state(model, cfg, tcfg, jax.random.PRNGKey(0),
-                               100, batch)
+                               100, init_batch)
         if args.dtype == "bfloat16":
             state = jax.tree_util.tree_map(
                 lambda x: x.astype(jnp.bfloat16)

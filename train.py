@@ -217,8 +217,11 @@ def main():
     sample = next(iter(train_loader))
     batch0 = {k: jnp.asarray(v) for k, v in sample.items()
               if k not in ("objects", "index", "frame")}
+    # init runs the dynamic voxel path; one scene is enough for params (the
+    # full batch can exceed HBM through the gather formulation)
+    init0 = {k: (v if k == "grid" else v[:1]) for k, v in batch0.items()}
     state, tx = init_state(model, cfg, tcfg, jax.random.PRNGKey(tcfg.seed),
-                           steps_per_epoch, batch0)
+                           steps_per_epoch, init0)
 
     if tcfg.pretrained:
         try:

@@ -64,6 +64,10 @@ class ResNetGN(nn.Module):
     """
 
     layers: Sequence[int] = (2, 2, 2, 2)
+    # rematerialize each residual block in the backward pass: trades one
+    # extra forward for dropping the stage activations from HBM (enables
+    # larger scene batches in training; param names are unchanged)
+    remat: bool = False
 
     @nn.compact
     def __call__(self, x) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
@@ -78,10 +82,11 @@ class ResNetGN(nn.Module):
             zip((64, 128, 256, 512), self.layers), start=1
         ):
             stride = 1 if stage == 1 else 2
+            block_cls = nn.remat(BasicBlock) if self.remat else BasicBlock
             for b in range(blocks):
                 s = stride if b == 0 else 1
                 ds = b == 0 and (s != 1 or inplanes != planes)
-                x = BasicBlock(planes, s, ds, name=f"layer{stage}_{b}")(x)
+                x = block_cls(planes, s, ds, name=f"layer{stage}_{b}")(x)
                 inplanes = planes
             feats.append(x)
         # feats = [feats4, feats8, feats16, feats32]; drop /4

@@ -59,6 +59,8 @@ class VFANet(nn.Module):
     # rig sampling backend: 'xla' (lax.scan of banded matmuls) or 'pallas'
     # (fused DMA+matmul+collapse kernel, ~10% faster; needs tile_v<=128)
     rig_impl: str = "xla"
+    # rematerialize backbone blocks in the backward pass (bigger train batch)
+    backbone_remat: bool = False
 
     def setup(self):
         if self.base not in RESNET_LAYERS:
@@ -68,7 +70,7 @@ class VFANet(nn.Module):
         if self.cfg.mode not in ("2D", "3D"):
             raise ValueError(f"mode error, expect `2D` or `3D`, got {self.cfg.mode}")
 
-        self.backbone = ResNetGN(RESNET_LAYERS[self.base], name="base")
+        self.backbone = ResNetGN(RESNET_LAYERS[self.base], remat=self.backbone_remat, name="base")
         self.lat8 = nn.Conv(256, (1, 1), name="lat8")
         self.lat16 = nn.Conv(256, (1, 1), name="lat16")
         self.lat32 = nn.Conv(256, (1, 1), name="lat32")

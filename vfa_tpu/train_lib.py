@@ -144,9 +144,11 @@ def current_lr(tcfg: TrainConfig, steps_per_epoch: int, step: int) -> float:
 
 
 def create_model(cfg: DatasetConfig, tcfg: TrainConfig,
-                 camera_reduce: str = "scan", rig_impl: str = "xla") -> VFANet:
+                 camera_reduce: str = "scan", rig_impl: str = "xla",
+                 backbone_remat: bool = False) -> VFANet:
     return VFANet(cfg=cfg, base=tcfg.base, angle_range=tcfg.angle_range,
-                  camera_reduce=camera_reduce, rig_impl=rig_impl)
+                  camera_reduce=camera_reduce, rig_impl=rig_impl,
+                  backbone_remat=backbone_remat)
 
 
 def init_state(
