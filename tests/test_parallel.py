@@ -160,3 +160,39 @@ def test_scene_loader_process_sharding():
         [[float(np.sum(s.images)) for s in p.scenes] for p in parts]))
     want = np.sort([float(np.sum(s.images)) for s in full.scenes])
     np.testing.assert_allclose(got, want)
+
+
+def test_sharded_rig_train_step_matches_single_device():
+    """The compiled-rig (window layout) training step must partition over a
+    data mesh and reproduce the single-device result — this is the
+    configuration multi-chip training actually runs."""
+    from vfa_tpu.geometry import make_grid
+    from vfa_tpu.ops.rig import build_rig, pyramid_feat_shapes
+
+    tc = tiny_config(mc_opts)
+    tcfg = TrainConfig(epochs=4, lr=0.001, pretrained=False)
+    model = create_model(tc, tcfg)
+    batch = _batch(tc, n_scenes=4)
+    state, tx = init_state(model, tc, tcfg, jax.random.PRNGKey(0), 4, batch)
+    step = make_train_step(model, tx, tc, tcfg, dim_mean=DIM_MEAN)
+
+    rig = build_rig(np.asarray(batch["calibs"][0]), tc,
+                    make_grid(tc.world_size, tc.cube_size[:2], tc.name),
+                    pyramid_feat_shapes(tc.resize_size),
+                    tile_v=16, dtype=jnp.float32, layout="window",
+                    band_buckets=2)
+
+    state_copy = jax.tree_util.tree_map(jnp.array, state)
+    s1, ld1 = step(state_copy, batch, rig)
+
+    mesh = make_mesh(data=4, cam=1, devices=jax.devices()[:4])
+    state_r = replicate(state, mesh)
+    rig_r = replicate(rig, mesh)
+    sharded = shard_batch(batch, mesh)
+    s2, ld2 = step(state_r, sharded, rig_r)
+
+    assert float(ld1["loss"]) == pytest.approx(float(ld2["loss"]), rel=2e-4)
+    for x, y in zip(jax.tree_util.tree_leaves(s1.params),
+                    jax.tree_util.tree_leaves(s2.params)):
+        np.testing.assert_allclose(np.asarray(x), np.asarray(y), rtol=2e-3,
+                                   atol=2e-5)
