@@ -64,6 +64,11 @@ def parse_args():
                         "trainer's vis_iter")
     p.add_argument("--cls_thresh", type=float, default=0.8)
     p.add_argument("--topk", type=int, default=50)
+    p.add_argument("--dtype", type=str, default="float32",
+                   choices=["float32", "bfloat16"],
+                   help="training compute dtype; bfloat16 halves memory and "
+                        "roughly doubles MXU throughput (float32 for "
+                        "checkpoint-parity runs)")
     p.add_argument("--fix_scheduler", action="store_true",
                    help="step OneCycle per iteration instead of replicating "
                         "the reference's per-epoch quirk")
@@ -140,6 +145,7 @@ def build_config(args):
         print_iter=args.print_iter, vis_iter=args.vis_iter,
         cls_thresh=args.cls_thresh,
         topk=args.topk, scheduler_step_per_epoch=not args.fix_scheduler,
+        compute_dtype=args.dtype,
     )
     return cfg, tcfg
 
@@ -263,6 +269,13 @@ def main():
         )
         print("compiled-rig sampling enabled")
 
+    if tcfg.compute_dtype == "bfloat16":
+        # cast params/optimizer moments to bf16 (counters stay integer)
+        state = jax.tree_util.tree_map(
+            lambda x: x.astype(jnp.bfloat16)
+            if hasattr(x, "dtype") and x.dtype == jnp.float32 else x, state)
+        print("training in bfloat16")
+
     mesh = None
     if args.multihost:
         from vfa_tpu.parallel import make_global_batch, make_mesh, replicate
@@ -275,6 +288,8 @@ def main():
     def to_device(batch):
         jb = {k: v for k, v in batch.items()
               if k not in ("objects", "index", "frame")}
+        if tcfg.compute_dtype == "bfloat16":
+            jb["images"] = jnp.asarray(jb["images"], jnp.bfloat16)
         if mesh is None:
             return {k: jnp.asarray(v) for k, v in jb.items()}
         return make_global_batch(jb, mesh)

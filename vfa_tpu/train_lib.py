@@ -207,6 +207,9 @@ def make_train_step(model: VFANet, tx, cfg: DatasetConfig, tcfg: TrainConfig,
             batch["images"], batch["calibs"], batch["grid"],
             train=True, rig=rig, mutable=["batch_stats"],
         )
+        # losses in fp32: bf16 sigmoids saturate to exactly 1 and the focal
+        # log(1 - p) returns -inf
+        pred = {k: v.astype(jnp.float32) for k, v in pred.items()}
         gt = encode_targets(batch, cfg, dim_mean, model.angle_range)
         if cfg.mode == "3D":
             loss, loss_dict = loss_fn3(pred, gt)
@@ -241,6 +244,7 @@ def make_eval_step(model: VFANet, cfg: DatasetConfig, dim_mean=None):
             batch["images"], batch["calibs"], batch["grid"], train=False,
             rig=rig,
         )
+        pred = {k: v.astype(jnp.float32) for k, v in pred.items()}
         gt = encode_targets(batch, cfg, dim_mean, model.angle_range)
         if cfg.mode == "3D":
             _, loss_dict = compute_loss3d(pred, gt, cfg.loss_weight)
