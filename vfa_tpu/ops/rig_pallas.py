@@ -86,7 +86,8 @@ def _next_step(n, t, b, T, B):
 
 
 def _kernel_win(starts_ref, ii_hbm, a_hbm, kr_ref, out_ref,
-                a_buf, band_buf, sem_a, sem, *, nl, tile_v, wh, ww, C, n_out):
+                a_buf, band_buf, sem_a, sem, *, nl, tile_v, wh, ww, C, n_out,
+                a_slots=2):
     """Window-layout forward: DMA a compact 2D (wh, ww) feature window and
     flatten it into the matmul's contraction axis. The (wh, ww, C) ->
     (wh*ww, C) reshape is layout-free because ww is 16-aligned (sublane
@@ -126,7 +127,7 @@ def _kernel_win(starts_ref, ii_hbm, a_hbm, kr_ref, out_ref,
         )
 
     tt = t + T * n
-    a_sl = tt % 2
+    a_sl = tt % 2 if a_slots == 2 else 0
 
     @pl.when(first)
     def _():
@@ -144,9 +145,16 @@ def _kernel_win(starts_ref, ii_hbm, a_hbm, kr_ref, out_ref,
     def _():
         dma_band(1 - slot, n2c, b2, ry2, rx2).start()
 
-        @pl.when(new_tile)
+        if a_slots == 2:
+            @pl.when(new_tile)
+            def _():
+                dma_a(n2c, t2, (t2 + T * n2c) % 2).start()
+
+    if a_slots == 1:
+        # single A slot: fetch at each tile's first scene step (small stall)
+        @pl.when((b == 0) & jnp.logical_not(first))
         def _():
-            dma_a(n2c, t2, (t2 + T * n2c) % 2).start()
+            dma_a(n, t, 0).start()
 
     dma_band(slot, n, b, ry, rx).wait()
 
@@ -468,15 +476,21 @@ def _bucket_fwd_call(starts, ii, A_b, Kr, *, N, T, B, nl, tile_v, band, C,
         ]
     else:
         wh, ww = window
+        rows = nl * tile_v
+        # A stays in HBM, manually buffered; 2 slots (prefetching the next
+        # tile's A) when VMEM allows — dtype-aware: fp32 feature windows
+        # (parity eval) double the band scratch vs bf16
+        budget = int(12.0e6) - rows * C * 4  # minus the vox fp32 temp
+        per2 = 2 * rows * A_b.dtype.itemsize + 2 * C * ii.dtype.itemsize
+        a_slots = 2 if band * per2 <= budget else 1
         kernel = functools.partial(
-            _kernel_win, nl=nl, tile_v=tile_v, wh=wh, ww=ww, C=C, n_out=n_out)
-        # A stays in HBM; the kernel 2-slot-buffers it manually (prefetching
-        # the next tile's A during the current tile's last scene step)
+            _kernel_win, nl=nl, tile_v=tile_v, wh=wh, ww=ww, C=C, n_out=n_out,
+            a_slots=a_slots)
         a_spec = pl.BlockSpec(memory_space=pl.ANY)
         scratches = [
-            pltpu.VMEM((2, nl * tile_v, band), A_b.dtype),
+            pltpu.VMEM((a_slots, nl * tile_v, band), A_b.dtype),
             pltpu.VMEM((2, wh, ww, C), ii.dtype),
-            pltpu.SemaphoreType.DMA((2,)),
+            pltpu.SemaphoreType.DMA((a_slots,)),
             pltpu.SemaphoreType.DMA((2,)),
         ]
     grid_spec = pltpu.PrefetchScalarGridSpec(
@@ -533,9 +547,12 @@ def _bucket_bwd_call(starts, ii, A_b, Kr, g, *, N, T, B, nl, tile_v, band, C,
         # double-buffered windows in VMEM; A gets 2 slots when they fit
         # per band element: a_slots*rows*2 (A bf16) + 2*C*2 (band windows)
         # + 2*C*4 (dII windows) + C*4 (dband dot output)
-        budget = int(11.5e6)
-        fits2 = band * (rows * 4 + 256 * 16) <= budget
-        fits1 = band * (rows * 2 + 256 * 16) <= budget
+        # dtype-aware: fp32 feature windows (parity eval/training) double
+        # the band scratch vs bf16
+        budget = int(9.5e6)
+        per = 2 * C * ii.dtype.itemsize + 2 * C * 4 + C * 4
+        fits2 = band * (2 * rows * A_b.dtype.itemsize + per) <= budget
+        fits1 = band * (rows * A_b.dtype.itemsize + per) <= budget
         if B >= 2 and (fits1 or fits2):
             a_slots = 2 if fits2 else 1
             kernel = functools.partial(
