@@ -51,7 +51,7 @@ def main():
                    choices=["flat", "window"],
                    help="rig band layout (window: compact 2D image windows, "
                         "~2-3x fewer A bytes/FLOPs than flat)")
-    p.add_argument("--buckets", type=int, default=8,
+    p.add_argument("--buckets", type=int, default=12,
                    help="max band buckets (DP-optimal edges)")
     p.add_argument("--remat", action="store_true",
                    help="rematerialize backbone blocks in training "
