@@ -51,8 +51,10 @@ def main():
                    choices=["flat", "window"],
                    help="rig band layout (window: compact 2D image windows, "
                         "~2-3x fewer A bytes/FLOPs than flat)")
-    p.add_argument("--buckets", type=int, default=12,
-                   help="max band buckets (DP-optimal edges)")
+    p.add_argument("--buckets", type=int, default=0,
+                   help="max band buckets (DP-optimal edges); 0 = auto "
+                        "(12 inference / 8 training: more buckets trim A "
+                        "but cost extra VJP kernel launches)")
     p.add_argument("--remat", action="store_true",
                    help="rematerialize backbone blocks in training "
                         "(frees activation HBM for larger batches)")
@@ -86,6 +88,8 @@ def main():
     from vfa_tpu.train_lib import create_model
 
     cfg = get_config(args.data)
+    if not args.buckets:
+        args.buckets = 8 if args.train else 12
     tcfg = TrainConfig(pretrained=False, compute_dtype=args.dtype)
     rig_impl = "xla" if args.no_rig else args.rig_impl
     model = create_model(cfg, tcfg, rig_impl=rig_impl,

@@ -96,7 +96,7 @@ def parse_args():
     p.add_argument("--rig_layout", type=str, default="window",
                    choices=["flat", "window"],
                    help="rig band layout (window: compact 2D image windows)")
-    p.add_argument("--rig_buckets", type=int, default=12,
+    p.add_argument("--rig_buckets", type=int, default=8,
                    help="max band-width buckets (DP-optimal edges)")
     # Multi-host (SURVEY §2.9): one JAX process per host; data axis spans
     # hosts over DCN, cam axis stays on ICI. Single-process (the default
