@@ -226,3 +226,26 @@ def test_frame_matches_shared_gt_not_removed():
     ])
     info = frame_matches(preds, gts, 0.5)
     assert info[:, 1].sum() == 2
+
+
+def test_ap_aos_golden_fixture_matches_reference():
+    """Golden pin of the full AP/AOS/OS sweep against the reference
+    implementation (`evaluateAPAOS.py:9-170` run once via the CPU oracle in
+    tools/make_apaos_golden.py; fixtures vendored). Same treatment MODA got:
+    exact reference semantics on a randomized MultiviewC-scale fixture with
+    matches spanning all three IoU tiers."""
+    import json
+
+    from vfa_tpu.eval.apaos import evaluate_ap_aos
+
+    with open(FIXTURES / "apaos_golden.json") as f:
+        golden = json.load(f)
+    got = evaluate_ap_aos(str(FIXTURES / "apaos_pred.txt"),
+                          str(FIXTURES / "apaos_gt.txt"))
+    names = ["AP_75", "AOS_75", "OS_75", "AP_50", "AOS_50", "OS_50",
+             "AP_25", "AOS_25", "OS_25"]
+    # fp32 batched IoU vs the float64 oracle: boundary pairs can flip at a
+    # threshold only if an IoU sits within float error of it (none do in
+    # this fixture); curve values match to fp32 accumulation error
+    np.testing.assert_allclose([got[i] for i in range(9)],
+                               [golden[n] for n in names], rtol=2e-5)

@@ -105,6 +105,64 @@ def test_sgd_update_matches_torch(rng):
                                rtol=1e-5, atol=1e-7)
 
 
+def test_constant_momentum_matches_torch(rng):
+    """cycle_momentum=False honors --momentum: steps == torch SGD with
+    OneCycleLR(cycle_momentum=False) at the same constant momentum."""
+    import optax
+    import torch
+
+    from vfa_tpu.train_lib import make_optimizer
+
+    tcfg = TrainConfig(epochs=2, lr=0.02, momentum=0.7, weight_decay=5e-4,
+                       scheduler_step_per_epoch=False, cycle_momentum=False)
+    p0 = rng.normal(size=(4, 3)).astype(np.float32)
+    grads = [rng.normal(size=(4, 3)).astype(np.float32) for _ in range(3)]
+
+    tx = make_optimizer(tcfg, steps_per_epoch=5)
+    params = {"w": jnp.asarray(p0)}
+    opt_state = tx.init(params)
+    for g in grads:
+        updates, opt_state = tx.update({"w": jnp.asarray(g)}, opt_state,
+                                       params)
+        params = optax.apply_updates(params, updates)
+
+    tp = torch.nn.Parameter(torch.from_numpy(p0.copy()))
+    opt = torch.optim.SGD([tp], lr=tcfg.lr, momentum=tcfg.momentum,
+                          weight_decay=tcfg.weight_decay)
+    sched = torch.optim.lr_scheduler.OneCycleLR(
+        opt, max_lr=tcfg.lr, steps_per_epoch=5, epochs=2,
+        cycle_momentum=False)
+    for g in grads:
+        opt.zero_grad()
+        tp.grad = torch.from_numpy(g.copy())
+        opt.step()
+        sched.step()
+    np.testing.assert_allclose(np.asarray(params["w"]), tp.detach().numpy(),
+                               rtol=1e-5, atol=1e-7)
+
+
+def test_momentum_flag_rejected_while_cycled():
+    """--momentum != 0.5 without --no_cycle_momentum is a hard error (the
+    value would be silently inert under the replicated reference quirk)."""
+    import sys
+
+    import train as train_cli
+
+    argv = sys.argv
+    try:
+        sys.argv = ["train.py", "--data", "MultiviewC", "--momentum", "0.9"]
+        args = train_cli.parse_args()
+        with pytest.raises(SystemExit):
+            train_cli.build_config(args)
+        sys.argv = ["train.py", "--data", "MultiviewC", "--momentum", "0.9",
+                    "--no_cycle_momentum"]
+        args = train_cli.parse_args()
+        _, tcfg = train_cli.build_config(args)
+        assert tcfg.momentum == 0.9 and not tcfg.cycle_momentum
+    finally:
+        sys.argv = argv
+
+
 def test_train_steps_reduce_loss():
     tc = tiny_config(mc_opts)
     # long nominal cycle so the test's 12 steps sit in the low-lr warmup

@@ -72,6 +72,11 @@ def parse_args():
     p.add_argument("--fix_scheduler", action="store_true",
                    help="step OneCycle per iteration instead of replicating "
                         "the reference's per-epoch quirk")
+    p.add_argument("--no_cycle_momentum", action="store_true",
+                   help="use the constant --momentum instead of replicating "
+                        "torch OneCycleLR's 0.95<->0.85 momentum cycle (the "
+                        "reference quirk that makes SGD's momentum=0.5 inert, "
+                        "reference train.py:256-258)")
     p.add_argument("--no_augment", action="store_true",
                    help="disable the train-split ColorJitter augmentation "
                         "(the reference trains with brightness/contrast/hue "
@@ -137,6 +142,13 @@ def build_config(args):
     if args.tiny:
         cfg = tiny_config(cfg)
 
+    if args.momentum != 0.5 and not args.no_cycle_momentum:
+        raise SystemExit(
+            "--momentum has no effect while the reference's OneCycleLR "
+            "momentum cycle is replicated (it overwrites SGD's momentum "
+            "every step; reference train.py:256-258). Pass "
+            "--no_cycle_momentum to train with a constant momentum.")
+
     tcfg = TrainConfig(
         epochs=args.epochs, batch_size=args.batch_size, lr=args.lr,
         weight_decay=args.weight_decay, momentum=args.momentum,
@@ -145,6 +157,7 @@ def build_config(args):
         print_iter=args.print_iter, vis_iter=args.vis_iter,
         cls_thresh=args.cls_thresh,
         topk=args.topk, scheduler_step_per_epoch=not args.fix_scheduler,
+        cycle_momentum=not args.no_cycle_momentum,
         compute_dtype=args.dtype,
     )
     return cfg, tcfg

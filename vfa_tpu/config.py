@@ -96,6 +96,12 @@ class TrainConfig:
     # LR trajectory only traverses the first `epochs` steps of the cycle.
     # True replicates that behavior; False steps per iteration as configured.
     scheduler_step_per_epoch: bool = True
+    # Reference quirk: torch OneCycleLR defaults to cycle_momentum=True and
+    # overwrites SGD's configured momentum (0.5) with a 0.95->0.85->0.95
+    # cosine cycle every scheduler step (`train.py:256-258`). True replicates
+    # that (the `momentum` field is then inert, as in the reference); False
+    # uses the constant `momentum` value.
+    cycle_momentum: bool = True
     # Numerics: 'float32' for checkpoint-parity runs, 'bfloat16' for speed.
     compute_dtype: str = "float32"
 

@@ -102,13 +102,25 @@ class SceneLoader:
         self.drop_last = drop_last
         self.augment = augment  # callable (images (N,H,W,3), rng) -> images
         # multi-host: every process shuffles with the SAME seed, then takes a
-        # disjoint strided shard — per-host DCN-side IO, no frame read twice
+        # disjoint strided shard — per-host DCN-side IO, no frame read twice.
+        # make_global_batch requires every process to yield the same number
+        # of identically-sized batches (a ragged tail would deadlock the
+        # collective assembly), so with >1 process the global order is
+        # truncated to a multiple of process_count and drop_last is forced.
         self.process_id = process_id
         self.process_count = process_count
+        if process_count > 1:
+            self.drop_last = True
         self._rng = np.random.default_rng(seed)
 
+    def _shard_len(self):
+        n = len(self.ds)
+        if self.process_count > 1:
+            n = (n // self.process_count) * self.process_count
+        return len(range(self.process_id, n, self.process_count))
+
     def __len__(self):
-        n = len(range(self.process_id, len(self.ds), self.process_count))
+        n = self._shard_len()
         if self.drop_last:
             return n // self.batch_size
         return (n + self.batch_size - 1) // self.batch_size
@@ -145,6 +157,10 @@ class SceneLoader:
         order = np.arange(len(self.ds))
         if self.shuffle:
             self._rng.shuffle(order)
+        if self.process_count > 1:
+            # equal shard sizes across processes (see __init__)
+            order = order[:(len(order) // self.process_count)
+                          * self.process_count]
         order = order[self.process_id::self.process_count]
         chunks = [order[i:i + self.batch_size]
                   for i in range(0, len(order), self.batch_size)]

@@ -416,8 +416,8 @@ def _hilbert(y: np.ndarray, x: np.ndarray, bits: int = 11) -> np.ndarray:
 
 
 def _build_scale_window(calibs, cfg, grid, feat_hw, crange, tile_v,
-                        band_buckets):
-    """Window-layout build for one feature scale: cells Morton-ordered by
+                        band_buckets, dtype=jnp.bfloat16):
+    """Window-layout build for one feature scale: cells Hilbert-ordered by
     projected box center, each tile of `tile_v` cells sampled from one
     compact 2D image window instead of a full-width flat band.
 
@@ -442,7 +442,7 @@ def _build_scale_window(calibs, cfg, grid, feat_hw, crange, tile_v,
         y0, ny = py[8], py[9]
         x0, nx = px[8], px[9]
 
-        # Morton order of the mean visible box center (pixel coords)
+        # Hilbert order of the mean visible box center (pixel coords)
         v2 = vis.reshape(nl, V2d)
         cnt = v2.sum(0)
         cx = np.clip((xl + xr) * 0.5, 0, fw - 1)
@@ -488,12 +488,21 @@ def _build_scale_window(calibs, cfg, grid, feat_hw, crange, tile_v,
         whs[cam] = wh[tperm]
         wws[cam] = ww[tperm]
     # VMEM budget for the Pallas kernels (16 MB/core). Per band element the
-    # bwd kernel holds: the bf16 A tile (manual single buffer, rows*2 B),
-    # the bf16 feature window (C*2), the fp32 gradient-window scratch (C*4)
-    # and the fp32 dband dot output (C*4). ~4.5 MB is reserved for the
-    # dKr/out blocks, Kr, the g tile, small temps and slack.
+    # serial bwd kernel holds: the A tile (manual single buffer,
+    # rows*itemsize B), the feature window (C*f_iz), the fp32
+    # gradient-window scratch (C*4) and the fp32 dband dot output (C*4).
+    # ~4.5 MB is reserved for the dKr/out blocks, Kr, the g tile, small
+    # temps and slack. Dtype-aware per the repo rule ("size from
+    # .dtype.itemsize, never assume bf16"): the A term uses the requested
+    # rig dtype; the feature term is modeled at fp32 (f_iz=4) because fp32
+    # features legitimately flow through a bf16 rig (default fp32 training,
+    # parity eval) and the cached rig doesn't know the runtime feature
+    # dtype.
     rows = nl * tile_v
-    band_cap = int(11.5e6) // (rows * 2 + 256 * 10)
+    C = 256  # lateral channel count (model/vfanet.py laterals)
+    a_iz = np.dtype(dtype).itemsize
+    f_iz = 4
+    band_cap = int(11.5e6) // (rows * a_iz + C * (f_iz + 4 + 4))
     edges = _dp_bucket_edges(whs, wws, nb, 8, 16, band_cap=band_cap)
     nb = len(edges) - 1
     # wh*ww multiple of 128 (lane tiling) and ww 16-aligned: the in-kernel
@@ -577,7 +586,7 @@ def build_rig(
 ) -> CameraRig:
     """Precompute the banded sampling matrices (host, numpy; one-time).
 
-    layout='window' uses the 2D windowed bands (Morton cell order; ~3x
+    layout='window' uses the 2D windowed bands (Hilbert cell order; ~3x
     smaller A than 'flat'); requires fold_prefix.
 
     With `cache_dir`, the built structures are cached to disk keyed by a
@@ -599,7 +608,7 @@ def build_rig(
             + np.ascontiguousarray(grid, np.float32).tobytes()
             + repr((cfg.name, cfg.grid_h, tuple(cfg.cube_size),
                     tuple(cfg.image_size), tuple(feat_shapes), tile_v,
-                    str(dtype), crange, 'align8.v4-clamped-origins', fold_prefix,
+                    str(dtype), crange, 'align8.v5-dtype-cap', fold_prefix,
                     band_buckets, layout)).encode()
         ).hexdigest()[:16]
         os.makedirs(cache_dir, exist_ok=True)
@@ -634,7 +643,7 @@ def build_rig(
         if layout == "window":
             A_bk, s_bk, win_hw, inv_perm, nl = _build_scale_window(
                 calibs, cfg, np.asarray(grid), (fh, fw), crange, tile_v,
-                band_buckets)
+                band_buckets, dtype=dtype)
             scales.append(ScaleRig(
                 A=tuple(jnp.asarray(a, dtype) for a in A_bk),
                 starts=tuple(jnp.asarray(s) for s in s_bk),

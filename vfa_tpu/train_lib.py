@@ -73,8 +73,13 @@ def momentum_schedule(tcfg: TrainConfig, steps_per_epoch: int,
     OneCycleLR defaults to cycle_momentum=True and OVERRIDES the optimizer's
     momentum every scheduler step — cosine from 0.95 down to 0.85 during
     warmup and back to 0.95 during anneal. The configured 0.5 never takes
-    effect after the first scheduler.step(). Replicated exactly.
+    effect after the first scheduler.step(). Replicated exactly when
+    tcfg.cycle_momentum (the default); with cycle_momentum=False the
+    constant tcfg.momentum is honored instead (the non-quirk path).
     """
+    if not tcfg.cycle_momentum:
+        const = jnp.float32(tcfg.momentum)
+        return lambda count: const
     total = steps_per_epoch * tcfg.epochs
     up = 0.3 * total - 1.0
     down = (total - 1.0) - up
