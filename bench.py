@@ -62,6 +62,11 @@ def main():
     p.add_argument("--remat", action="store_true",
                    help="rematerialize backbone blocks in training "
                         "(frees activation HBM for larger batches)")
+    p.add_argument("--chunks", type=int, default=0,
+                   help="split the backbone+laterals over the B*N camera "
+                        "image axis into this many rematerialized chunks "
+                        "(caps the conv1/maxpool temp allocations; 0 = auto: "
+                        "2 for --train batches >= 8, else 1)")
     p.add_argument("--train", action="store_true",
                    help="measure training step throughput instead of "
                         "inference (fwd + encode + loss + bwd + SGD)")
@@ -106,8 +111,13 @@ def main():
         args.buckets = 8 if args.train else 12
     tcfg = TrainConfig(pretrained=False, compute_dtype=args.dtype)
     rig_impl = "xla" if args.no_rig else args.rig_impl
-    model = create_model(cfg, tcfg, rig_impl=rig_impl,
-                         backbone_remat=args.remat)
+
+    def model_for(batch_size):
+        chunks = args.chunks or (2 if args.train and batch_size >= 8 else 1)
+        return create_model(cfg, tcfg, rig_impl=rig_impl,
+                            backbone_remat=args.remat,
+                            backbone_chunks=chunks)
+
     dtype = jnp.bfloat16 if args.dtype == "bfloat16" else jnp.float32
 
     dim_mean = jnp.asarray([145.0, 120.0, 255.0]) if cfg.mode == "3D" else None
@@ -132,6 +142,8 @@ def main():
     def make_train_fn(batch_size):
         from vfa_tpu.train_lib import init_state, make_train_step
         from vfa_tpu.utils import pad_objects
+
+        model = model_for(batch_size)
 
         scenes = [make_scene(cfg, seed=s, num_objects=6)
                   for s in range(batch_size)]
@@ -170,6 +182,7 @@ def main():
         return Runner(state), (batch, rig)
 
     def make_fn(batch_size):
+        model = model_for(batch_size)
         scenes = [make_scene(cfg, seed=s, num_objects=6) for s in range(batch_size)]
         images = jnp.stack([s.images for s in scenes]).astype(dtype)
         calibs = jnp.stack([s.calibs for s in scenes])

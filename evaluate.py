@@ -178,11 +178,13 @@ def main():
                     ap_gt.append([frame_id, *loc[:3], *dim, float(o.rotation)])
 
     paths = {}
+    # all 4 artifacts are written even when empty (the reference's
+    # FormatPRData/FormatAPAOSData always dump, `evaluate.py:84-138`); in 2D
+    # mode the ap_aos pair is empty
     for name, rows in (("pr_dir_pred", pr_pred), ("pr_dir_gt", pr_gt),
                        ("ap_aos_pred", ap_pred), ("ap_aos_gt", ap_gt)):
-        if rows:
-            paths[name] = os.path.join(out_dir, f"{name}.txt")
-            np.savetxt(paths[name], np.asarray(rows, dtype=np.float64))
+        paths[name] = os.path.join(out_dir, f"{name}.txt")
+        np.savetxt(paths[name], np.asarray(rows, dtype=np.float64))
 
     if not pr_pred:
         print("no detections above threshold; MODA undefined (0)")

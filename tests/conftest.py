@@ -23,3 +23,11 @@ import pytest  # noqa: E402
 @pytest.fixture(scope="session")
 def rng():
     return np.random.default_rng(1234)
+
+
+def pytest_configure(config):
+    config.addinivalue_line(
+        "markers",
+        "slow: heavy integration tests (CLI subprocess smokes, full-scale "
+        "rig/parity runs); deselect with -m 'not slow' for quick iteration",
+    )

@@ -1,0 +1,137 @@
+"""CLI subprocess smokes: train.py / evaluate.py / predict.py run end-to-end
+on the synthetic tiny config, and the --torch_checkpoint file path
+(torch.save -> convert -> evaluate) executes the full conversion chain.
+
+The reference contract is its eval loop (`/root/reference/evaluate.py:141-206`)
+and train loop (`train.py:200-286`); these tests lock the rebuilt surfaces so
+the manual smoke runs in CLAUDE.md are CI.
+"""
+
+import json
+import os
+import subprocess
+import sys
+import types
+
+import numpy as np
+import pytest
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+REFERENCE = "/root/reference"
+
+pytestmark = pytest.mark.slow
+
+
+def _run(argv, timeout=540):
+    env = dict(os.environ)
+    env["VFA_TPU_PLATFORM"] = "cpu"
+    # subprocesses don't need the 8-device mesh; 1 CPU device is faster
+    env["XLA_FLAGS"] = "--xla_force_host_platform_device_count=1"
+    proc = subprocess.run(
+        [sys.executable] + argv, cwd=REPO, env=env, timeout=timeout,
+        capture_output=True, text=True,
+    )
+    assert proc.returncode == 0, (
+        f"{argv} failed\nstdout:\n{proc.stdout[-3000:]}\n"
+        f"stderr:\n{proc.stderr[-3000:]}"
+    )
+    return proc
+
+
+def test_train_cli_smoke(tmp_path):
+    proc = _run([
+        "train.py", "--data", "MultiviewC", "--synthetic", "--tiny",
+        "-e", "1", "--pretrained", "0", "--savedir", str(tmp_path),
+        "--vis_iter", "0",
+    ])
+    assert "[VAL] epoch 1" in proc.stdout
+    assert "saved checkpoint" in proc.stdout
+    # the checkpoint directory must exist under the experiment dir
+    exps = [d for d in tmp_path.iterdir() if d.is_dir()]
+    assert exps and any((e / "checkpoints").is_dir() for e in exps)
+
+
+def test_evaluate_cli_smoke(tmp_path):
+    out = tmp_path / "eval"
+    proc = _run([
+        "evaluate.py", "--data", "MultiviewC", "--synthetic", "--tiny",
+        "--out_dir", str(out),
+    ])
+    # the 4 txt artifacts of the reference eval loop
+    # (`/root/reference/evaluate.py:177-198`)
+    names = sorted(p.name for p in out.iterdir())
+    assert len(names) == 4, names
+    for n in names:
+        assert n.endswith(".txt")
+
+
+def test_predict_cli_smoke(tmp_path):
+    out = tmp_path / "prediction.png"
+    _run([
+        "predict.py", "--data", "MultiviewC", "--synthetic", "--tiny",
+        "--out", str(out),
+    ])
+    assert out.is_file() and out.stat().st_size > 0
+
+
+@pytest.mark.skipif(not os.path.isdir(os.path.join(REFERENCE, "vfa")),
+                    reason="reference checkout not available")
+def test_evaluate_torch_checkpoint_end_to_end(tmp_path):
+    """torch.save a REFERENCE state_dict, then run evaluate.py
+    --torch_checkpoint on it: exercises torch.load -> convert_state_dict ->
+    forward, the path real users take with the published .pth files."""
+    import torch
+
+    # stub torchvision exactly like tests/test_parity.py
+    if "torchvision" not in sys.modules:
+        tv = types.ModuleType("torchvision")
+        datasets = types.ModuleType("torchvision.datasets")
+        vision = types.ModuleType("torchvision.datasets.vision")
+
+        class VisionDataset:
+            def __init__(self, *a, **k):
+                pass
+
+        datasets.VisionDataset = VisionDataset
+        vision.VisionDataset = VisionDataset
+        transforms = types.ModuleType("torchvision.transforms")
+
+        class ToTensor:
+            pass
+
+        transforms.ToTensor = ToTensor
+        tv.datasets = datasets
+        tv.transforms = transforms
+        sys.modules["torchvision"] = tv
+        sys.modules["torchvision.datasets"] = datasets
+        sys.modules["torchvision.datasets.vision"] = vision
+        sys.modules["torchvision.transforms"] = transforms
+
+    sys.path.insert(0, REFERENCE)
+    try:
+        from vfa.model.vfanet import VFANet as RefVFANet  # type: ignore
+
+        from vfa_tpu.config import get_config
+        from vfa_tpu.data.synthetic import tiny_config
+
+        tc = tiny_config(get_config("MultiviewC"))
+        torch.manual_seed(0)
+        ref = RefVFANet(
+            args=types.SimpleNamespace(data=tc.name,
+                                       image_size=list(tc.image_size),
+                                       grid_scale=tc.grid_scale),
+            grid_height=tc.grid_h, cube_size=list(tc.cube_size),
+            angle_range=360, mode=tc.mode, pretrained=False,
+        )
+        ckpt = tmp_path / "ref.pth"
+        torch.save({"model_state_dict": ref.state_dict()}, str(ckpt))
+    finally:
+        sys.path.remove(REFERENCE)
+
+    out = tmp_path / "eval"
+    proc = _run([
+        "evaluate.py", "--data", "MultiviewC", "--synthetic", "--tiny",
+        "--torch_checkpoint", str(ckpt), "--out_dir", str(out),
+    ])
+    assert "converted reference checkpoint" in proc.stdout
+    assert len(list(out.iterdir())) == 4

@@ -119,3 +119,43 @@ def test_backbone_remat_is_numerically_identical(rng):
         # fp32 reassociation under the lifted transform: ~1e-6 abs drift
         np.testing.assert_allclose(np.asarray(p1[k]), np.asarray(p0[k]),
                                    rtol=1e-3, atol=1e-4)
+
+
+def test_chunked_backbone_matches_unchunked():
+    """backbone_chunks splits the B*N trunk into rematerialized chunks; the
+    outputs and gradients must match the single-pass model (up to conv float
+    reassociation — same params, different batch slicing)."""
+    import jax
+    import jax.numpy as jnp
+
+    from vfa_tpu.config import TrainConfig, mc_opts
+    from vfa_tpu.data.synthetic import make_scene, tiny_config
+    from vfa_tpu.train_lib import create_model
+
+    tc = tiny_config(mc_opts)
+    tcfg = TrainConfig(pretrained=False)
+    s = make_scene(tc, seed=0, num_objects=3)
+    imgs = jnp.stack([s.images, s.images])
+    calibs = jnp.stack([s.calibs, s.calibs])
+    grid = jnp.asarray(s.grid)
+
+    m1 = create_model(tc, tcfg)
+    m2 = create_model(tc, tcfg, backbone_chunks=2, backbone_remat=True)
+    v = m1.init(jax.random.PRNGKey(0), imgs, calibs, grid)
+    p1 = m1.apply(v, imgs, calibs, grid)
+    p2 = m2.apply(v, imgs, calibs, grid)
+    for k in p1:
+        np.testing.assert_allclose(np.asarray(p1[k]), np.asarray(p2[k]),
+                                   rtol=2e-3, atol=1e-4, err_msg=k)
+
+    def loss(m, params):
+        pred = m.apply(params, imgs, calibs, grid)
+        return sum(jnp.sum(x.astype(jnp.float32) ** 2)
+                   for x in pred.values())
+
+    g1 = jax.grad(lambda p: loss(m1, p))(v)
+    g2 = jax.grad(lambda p: loss(m2, p))(v)
+    for a, b in zip(jax.tree_util.tree_leaves(g1),
+                    jax.tree_util.tree_leaves(g2)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=5e-3, atol=2e-2)

@@ -196,3 +196,57 @@ def test_sharded_rig_train_step_matches_single_device():
                     jax.tree_util.tree_leaves(s2.params)):
         np.testing.assert_allclose(np.asarray(x), np.asarray(y), rtol=2e-3,
                                    atol=2e-5)
+
+
+@pytest.mark.slow
+def test_two_process_distributed_train_step(tmp_path):
+    """REAL two-process jax.distributed: spawn 2 workers (4 virtual CPU
+    devices each, localhost coordinator), each loading its strided shard of
+    8 deterministic scenes; init_multihost + make_global_batch must assemble
+    the global batch and one sharded train step must reproduce the
+    single-process result computed here on the same 8 scenes."""
+    import json
+    import socket
+    import subprocess
+    import sys
+
+    # single-process reference on the identical global batch
+    tc = tiny_config(mc_opts)
+    tcfg = TrainConfig(epochs=4, lr=0.001, pretrained=False)
+    model = create_model(tc, tcfg)
+    batch = _batch(tc, n_scenes=8)
+    state, tx = init_state(model, tc, tcfg, jax.random.PRNGKey(0), 4, batch)
+    step = make_train_step(model, tx, tc, tcfg, dim_mean=DIM_MEAN)
+    _, ld = step(state, batch)
+    want_loss = float(ld["loss"])
+
+    with socket.socket() as s:  # free port for the coordinator
+        s.bind(("localhost", 0))
+        port = s.getsockname()[1]
+
+    import os
+
+    env = {k: v for k, v in os.environ.items()
+           if k not in ("XLA_FLAGS", "JAX_PLATFORMS")}
+    here = os.path.dirname(os.path.abspath(__file__))
+    repo = os.path.dirname(here)
+    env["PYTHONPATH"] = repo + os.pathsep + env.get("PYTHONPATH", "")
+    procs, outs = [], []
+    for pid in range(2):
+        out = tmp_path / f"worker{pid}.json"
+        outs.append(out)
+        procs.append(subprocess.Popen(
+            [sys.executable, os.path.join(here, "multihost_worker.py"),
+             f"localhost:{port}", "2", str(pid), str(out)],
+            env=env, cwd=repo,
+            stdout=subprocess.PIPE, stderr=subprocess.STDOUT, text=True))
+    logs = [p.communicate(timeout=600)[0] for p in procs]
+    for p, log in zip(procs, logs):
+        assert p.returncode == 0, f"worker failed:\n{log[-3000:]}"
+
+    results = [json.loads(o.read_text()) for o in outs]
+    # both processes observe the same replicated global loss ...
+    assert results[0]["loss"] == pytest.approx(results[1]["loss"], rel=1e-6)
+    assert results[0]["p0"] == pytest.approx(results[1]["p0"], rel=1e-6)
+    # ... and it matches the single-process step on the same scenes
+    assert results[0]["loss"] == pytest.approx(want_loss, rel=2e-4)

@@ -21,6 +21,9 @@ import pytest
 
 import jax.numpy as jnp
 
+pytestmark = pytest.mark.slow
+
+
 from vfa_tpu.config import mc_opts, mx_opts, wt_opts
 from vfa_tpu.data.synthetic import make_calibrations
 from vfa_tpu.geometry import make_grid

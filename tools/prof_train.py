@@ -1,0 +1,177 @@
+"""Component-level training-step timing on the real TPU.
+
+Decomposes the full MultiviewC train step into:
+  backbone   ResNet-GN + laterals fwd+bwd (sum-loss)
+  rig        window-rig Pallas sampling fwd+bwd per scale (random lats)
+  step       the full train step (fwd + encode + loss + bwd + SGD)
+
+Timing forces a host read per iteration batch (axon relay's
+block_until_ready is a no-op; see CLAUDE.md).
+
+Usage: python tools/prof_train.py [--batch 4] [--dtype bfloat16] [--remat]
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+import sys
+import time
+
+import numpy as np
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), os.pardir))
+
+
+def main():
+    p = argparse.ArgumentParser()
+    p.add_argument("--batch", type=int, default=4)
+    p.add_argument("--dtype", type=str, default="bfloat16")
+    p.add_argument("--remat", action="store_true")
+    p.add_argument("--iters", type=int, default=10)
+    p.add_argument("--data", type=str, default="MultiviewC")
+    p.add_argument("--buckets", type=int, default=8)
+    p.add_argument("--only", type=str, default="",
+                   help="comma list of sections to run (default all)")
+    args = p.parse_args()
+
+    import jax
+    import jax.numpy as jnp
+
+    cache = os.path.expanduser("~/.cache/jax_comp_cache")
+    os.makedirs(cache, exist_ok=True)
+    jax.config.update("jax_compilation_cache_dir", cache)
+    jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
+
+    from vfa_tpu.config import TrainConfig, get_config
+    from vfa_tpu.data.synthetic import make_calibrations, make_scene
+    from vfa_tpu.geometry import make_grid
+    from vfa_tpu.ops.rig import build_rig, default_tile_v, pyramid_feat_shapes
+    from vfa_tpu.train_lib import create_model, init_state, make_train_step
+    from vfa_tpu.utils import pad_objects
+
+    cfg = get_config(args.data)
+    tcfg = TrainConfig(pretrained=False, compute_dtype=args.dtype)
+    dtype = jnp.bfloat16 if args.dtype == "bfloat16" else jnp.float32
+    dim_mean = jnp.asarray([145.0, 120.0, 255.0]) if cfg.mode == "3D" else None
+    B = args.batch
+    only = set(args.only.split(",")) if args.only else None
+
+    model = create_model(cfg, tcfg, rig_impl="pallas",
+                         backbone_remat=args.remat)
+    calibs = make_calibrations(cfg, cfg.num_cam)
+    g = make_grid(cfg.world_size, cfg.cube_size[:2], cfg.name)
+    tile_v = default_tile_v(cfg.num_layers, "pallas", "window")
+    rig = build_rig(calibs, cfg, g, pyramid_feat_shapes(cfg.resize_size),
+                    tile_v=tile_v, dtype=dtype, layout="window",
+                    band_buckets=args.buckets,
+                    cache_dir=os.path.expanduser("~/.cache/vfa_tpu_rig"))
+
+    scenes = [make_scene(cfg, seed=s, num_objects=6) for s in range(B)]
+    objs = [pad_objects(s.objects, 16, cfg.mode) for s in scenes]
+    batch = {
+        "images": jnp.stack([s.images for s in scenes]).astype(dtype),
+        "calibs": jnp.stack([s.calibs for s in scenes]),
+        "grid": jnp.asarray(scenes[0].grid),
+        "heatmap": jnp.stack([s.heatmap for s in scenes]),
+        "location": jnp.stack([o["location"] for o in objs]),
+        "valid": jnp.stack([o["valid"] for o in objs]),
+    }
+    if cfg.mode == "3D":
+        batch["dimension"] = jnp.stack([o["dimension"] for o in objs])
+        batch["rotation"] = jnp.stack([o["rotation"] for o in objs])
+
+    def bench(name, fn, *fargs, force=None):
+        out = fn(*fargs)
+        float(jnp.sum(force(out) if force else out))  # compile + sync
+        t0 = time.perf_counter()
+        for _ in range(args.iters):
+            out = fn(*fargs)
+        float(jnp.sum(force(out) if force else out))
+        dt = (time.perf_counter() - t0) / args.iters
+        print(f"{name:28s} {dt * 1e3 / B:8.2f} ms/scene "
+              f"({dt * 1e3:.1f} ms/batch{B})")
+        return dt
+
+    # ----------------------------------------------------------- backbone --
+    if only is None or "backbone" in only:
+        from vfa_tpu.model.resnet import ResNetGN
+
+        bb = ResNetGN((2, 2, 2, 2), remat=args.remat)
+        x = batch["images"].reshape(B * cfg.num_cam, *batch["images"].shape[2:])
+        bvars = bb.init(jax.random.PRNGKey(0), x[:1])
+
+        @jax.jit
+        def bb_fwdbwd(params, x):
+            def loss(p):
+                f8, f16, f32 = bb.apply({"params": p}, x)
+                return (jnp.sum(f8.astype(jnp.float32) ** 2)
+                        + jnp.sum(f16.astype(jnp.float32) ** 2)
+                        + jnp.sum(f32.astype(jnp.float32) ** 2))
+            return jax.grad(loss)(params)
+
+        bench("backbone fwd+bwd", bb_fwdbwd, bvars["params"], x,
+              force=lambda g_: jax.tree_util.tree_leaves(g_)[0])
+
+    # ---------------------------------------------------------------- rig --
+    if only is None or "rig" in only:
+        from vfa_tpu.ops.rig_pallas import rig_sample_scale_pallas
+
+        key = jax.random.PRNGKey(1)
+        feats = []
+        for (fh, fw) in pyramid_feat_shapes(cfg.resize_size):
+            key, k2 = jax.random.split(key)
+            feats.append(jax.random.normal(
+                k2, (B, cfg.num_cam, fh, fw, 256), dtype))
+        nl = cfg.num_layers
+        kern = jax.random.normal(key, (256 * nl, 256), dtype) * 0.01
+        bias = jnp.zeros((256,), dtype)
+
+        @jax.jit
+        def rig_fwdbwd(kern, feats):
+            def loss(kern, feats):
+                tot = 0.0
+                for sr, lat in zip(rig.scales, feats):
+                    o = rig_sample_scale_pallas(lat, sr, kern, bias,
+                                                out_dtype=jnp.float32)
+                    tot += jnp.sum(o)
+                return tot
+            return jax.grad(loss, argnums=(0, 1))(kern, feats)
+
+        @jax.jit
+        def rig_fwd(kern, feats):
+            tot = 0.0
+            for sr, lat in zip(rig.scales, feats):
+                o = rig_sample_scale_pallas(lat, sr, kern, bias,
+                                            out_dtype=jnp.float32)
+                tot += jnp.sum(o)
+            return tot
+
+        bench("rig fwd", rig_fwd, kern, feats)
+        bench("rig fwd+bwd", rig_fwdbwd, kern, feats,
+              force=lambda g_: g_[0])
+
+    # --------------------------------------------------------------- step --
+    if only is None or "step" in only:
+        state, tx = init_state(
+            model, cfg, tcfg, jax.random.PRNGKey(0), 100,
+            {k: (v if k == "grid" else v[:1]) for k, v in batch.items()})
+        if args.dtype == "bfloat16":
+            state = jax.tree_util.tree_map(
+                lambda x: x.astype(jnp.bfloat16)
+                if x.dtype == jnp.float32 else x, state)
+        step = make_train_step(model, tx, cfg, tcfg, dim_mean=dim_mean)
+
+        holder = {"state": state}
+
+        def run(batch, rig):
+            holder["state"], loss = step(holder["state"], batch, rig)
+            return loss
+
+        bench("full train step", run, batch, rig,
+              force=lambda l: l["loss"])
+
+
+if __name__ == "__main__":
+    main()

@@ -61,6 +61,12 @@ class VFANet(nn.Module):
     rig_impl: str = "xla"
     # rematerialize backbone blocks in the backward pass (bigger train batch)
     backbone_remat: bool = False
+    # run the backbone + laterals over the B*N camera-image axis in this
+    # many rematerialized chunks: the stem's conv1/maxpool temps (the
+    # largest training allocations — bf16[B*N,360,640,64] padded 2x by the
+    # 64-channel lane tiling) then peak at one chunk's worth instead of the
+    # whole batch. 1 = single pass (inference default).
+    backbone_chunks: int = 1
 
     def setup(self):
         if self.base not in RESNET_LAYERS:
@@ -136,10 +142,24 @@ class VFANet(nn.Module):
         x = ((images - mean) / std).reshape(B * N, *images.shape[2:])
         flat_calibs = calibs.reshape(B * N, 3, 4)
 
-        feats8, feats16, feats32 = self.backbone(x)
-        lat8 = nn.relu(self.bn8(self.lat8(feats8)))
-        lat16 = nn.relu(self.bn16(self.lat16(feats16)))
-        lat32 = nn.relu(self.bn32(self.lat32(feats32)))
+        def trunk(mdl, xc):
+            f8, f16, f32 = mdl.backbone(xc)
+            return (nn.relu(mdl.bn8(mdl.lat8(f8))),
+                    nn.relu(mdl.bn16(mdl.lat16(f16))),
+                    nn.relu(mdl.bn32(mdl.lat32(f32))))
+
+        nchunk = self.backbone_chunks
+        if nchunk > 1 and x.shape[0] % nchunk == 0:
+            # rematerialized per-chunk trunk: residuals are only the lateral
+            # outputs (kept anyway as the rig's sampled features); the stem
+            # temps exist one chunk at a time in fwd AND bwd
+            rtrunk = nn.remat(trunk, prevent_cse=False)
+            parts = [rtrunk(self, xc)
+                     for xc in jnp.split(x, nchunk, axis=0)]
+            lat8, lat16, lat32 = (jnp.concatenate([p[i] for p in parts])
+                                  for i in range(3))
+        else:
+            lat8, lat16, lat32 = trunk(self, x)
 
         cfg = self.cfg
         L, W = grid.shape[0], grid.shape[1]

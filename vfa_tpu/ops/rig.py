@@ -493,15 +493,15 @@ def _build_scale_window(calibs, cfg, grid, feat_hw, crange, tile_v,
     # gradient-window scratch (C*4) and the fp32 dband dot output (C*4).
     # ~4.5 MB is reserved for the dKr/out blocks, Kr, the g tile, small
     # temps and slack. Dtype-aware per the repo rule ("size from
-    # .dtype.itemsize, never assume bf16"): the A term uses the requested
-    # rig dtype; the feature term is modeled at fp32 (f_iz=4) because fp32
-    # features legitimately flow through a bf16 rig (default fp32 training,
-    # parity eval) and the cached rig doesn't know the runtime feature
-    # dtype.
+    # .dtype.itemsize, never assume bf16"): both the A and feature terms use
+    # the requested rig dtype (matched precision — the supported configs
+    # couple them). Mixed-precision runs (fp32 features through a cached
+    # bf16 rig) are guarded at the kernel call site instead, where the
+    # actual feature dtype is known (rig_pallas._check_window_vmem).
     rows = nl * tile_v
     C = 256  # lateral channel count (model/vfanet.py laterals)
     a_iz = np.dtype(dtype).itemsize
-    f_iz = 4
+    f_iz = a_iz
     band_cap = int(11.5e6) // (rows * a_iz + C * (f_iz + 4 + 4))
     edges = _dp_bucket_edges(whs, wws, nb, 8, 16, band_cap=band_cap)
     nb = len(edges) - 1

@@ -462,6 +462,26 @@ def _bwd_kernel(starts_ref, ii_hbm, a_ref, kr_ref, g_ref, dii_in_hbm,
     wr.wait()  # the next grid step may read an overlapping band
 
 
+def _check_window_vmem(kind, need_bytes, *, band, a_dtype, f_dtype):
+    """Runtime guard for mixed-precision window kernels.
+
+    The build-time band cap (ops/rig.py:_build_scale_window) models matched
+    precision (features in the rig dtype). When fp32 features flow through a
+    cached bf16 rig the scratch can exceed the 16 MB VMEM even though the
+    bucketing passed the cap — fail with remediation instead of a Mosaic
+    compile blowup."""
+    limit = int(15.5e6)
+    if need_bytes > limit:
+        raise ValueError(
+            f"window {kind} kernel needs ~{need_bytes / 1e6:.1f} MB VMEM "
+            f"(band {band}, A {a_dtype}, features {f_dtype}) > "
+            f"{limit / 1e6:.1f} MB: this mixed-precision combination "
+            "exceeds what the rig's band bucketing guarantees. Use matched "
+            "precision (build the rig with dtype matching the features, "
+            "e.g. --dtype bfloat16 training), more rig buckets, or the "
+            "flat/XLA layout.")
+
+
 def _bucket_fwd_call(starts, ii, A_b, Kr, *, N, T, B, nl, tile_v, band, C,
                      n_out, interpret, window=None):
     if window is None:
@@ -482,7 +502,12 @@ def _bucket_fwd_call(starts, ii, A_b, Kr, *, N, T, B, nl, tile_v, band, C,
         # (parity eval) double the band scratch vs bf16
         budget = int(12.0e6) - rows * C * 4  # minus the vox fp32 temp
         per2 = 2 * rows * A_b.dtype.itemsize + 2 * C * ii.dtype.itemsize
+        per1 = rows * A_b.dtype.itemsize + 2 * C * ii.dtype.itemsize
         a_slots = 2 if band * per2 <= budget else 1
+        if band * per1 > budget:
+            _check_window_vmem(
+                "fwd", band * per1 + (int(16.0e6) - budget),
+                band=band, a_dtype=A_b.dtype, f_dtype=ii.dtype)
         kernel = functools.partial(
             _kernel_win, nl=nl, tile_v=tile_v, wh=wh, ww=ww, C=C, n_out=n_out,
             a_slots=a_slots)
@@ -568,6 +593,14 @@ def _bucket_bwd_call(starts, ii, A_b, Kr, g, *, N, T, B, nl, tile_v, band, C,
                 pltpu.SemaphoreType.DMA((2,)),
             ]
         else:
+            # serial fallback: A single-buffered, one feature + one dII
+            # window, plus the (band, C) fp32 dot output before the
+            # accumulate; Kr/dKr fp32 + g tile + slack modeled at 3 MB
+            per_serial = (rows * A_b.dtype.itemsize
+                          + C * ii.dtype.itemsize + C * 4 + C * 4)
+            _check_window_vmem(
+                "bwd", band * per_serial + int(3.0e6),
+                band=band, a_dtype=A_b.dtype, f_dtype=ii.dtype)
             kernel = functools.partial(
                 _bwd_kernel_win, nl=nl, tile_v=tile_v, wh=wh, ww=ww, C=C,
                 n_out=n_out)

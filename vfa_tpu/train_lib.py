@@ -150,10 +150,12 @@ def current_lr(tcfg: TrainConfig, steps_per_epoch: int, step: int) -> float:
 
 def create_model(cfg: DatasetConfig, tcfg: TrainConfig,
                  camera_reduce: str = "scan", rig_impl: str = "xla",
-                 backbone_remat: bool = False) -> VFANet:
+                 backbone_remat: bool = False,
+                 backbone_chunks: int = 1) -> VFANet:
     return VFANet(cfg=cfg, base=tcfg.base, angle_range=tcfg.angle_range,
                   camera_reduce=camera_reduce, rig_impl=rig_impl,
-                  backbone_remat=backbone_remat)
+                  backbone_remat=backbone_remat,
+                  backbone_chunks=backbone_chunks)
 
 
 def init_state(
