@@ -111,9 +111,11 @@ def test_train_step_with_rig_matches_reference_path(rng):
                                    atol=1e-5)
 
 
-def test_pallas_rig_matches_xla_rig_interpret(rng):
+@pytest.mark.parametrize("B", [2, 8])
+def test_pallas_rig_matches_xla_rig_interpret(B, rng):
     """The fused Pallas kernel (interpret mode on CPU) must match the XLA
-    scan formulation exactly."""
+    scan formulation exactly. B=8 exercises the scene-packed (S>1) fwd
+    kernel path."""
     from vfa_tpu.ops.rig import pyramid_feat_shapes
     from vfa_tpu.ops.rig_pallas import rig_sample_scale_pallas
 
@@ -123,7 +125,7 @@ def test_pallas_rig_matches_xla_rig_interpret(rng):
     shapes = pyramid_feat_shapes(tc.resize_size)
     rig = build_rig(calibs, tc, grid, shapes[:1], tile_v=16, dtype=jnp.float32)
     sr = rig.scales[0]
-    B, N, C = 2, 2, 8
+    N, C = 2, 8
     fh, fw = shapes[0]
     lat = jnp.asarray(rng.normal(size=(B, N, fh, fw, C)).astype(np.float32))
     k = jnp.asarray(rng.normal(size=(C * sr.nl, 12)).astype(np.float32))
@@ -201,10 +203,12 @@ def test_window_rig_matches_flat(layout, rng):
 
 @pytest.mark.parametrize("layout", ["flat", "window"])
 @pytest.mark.parametrize("buckets", [1, 2])
-def test_pallas_rig_vjp_matches_xla_interpret(buckets, layout, rng):
+@pytest.mark.parametrize("B", [2, 4])
+def test_pallas_rig_vjp_matches_xla_interpret(B, buckets, layout, rng):
     """The hand-written backward kernel (transposed banded matmul) must
     produce the same lat/kernel gradients as XLA autodiff of the scan
-    formulation (fp32, interpret mode)."""
+    formulation (fp32, interpret mode). B=4 exercises the scene-packed
+    (S=2) pipelined bwd kernel."""
     from vfa_tpu.ops.rig import pyramid_feat_shapes
     from vfa_tpu.ops.rig_pallas import rig_sample_scale_pallas
 
@@ -215,7 +219,7 @@ def test_pallas_rig_vjp_matches_xla_interpret(buckets, layout, rng):
     rig = build_rig(calibs, tc, grid, shapes[:1], tile_v=16,
                     dtype=jnp.float32, band_buckets=buckets, layout=layout)
     sr = rig.scales[0]
-    B, N, C = 2, 2, 8
+    N, C = 2, 8
     fh, fw = shapes[0]
     lat = jnp.asarray(rng.normal(size=(B, N, fh, fw, C)).astype(np.float32))
     k = jnp.asarray(rng.normal(size=(C * sr.nl, 12)).astype(np.float32))

@@ -111,3 +111,26 @@ def test_fullscale_rig_invariants(cfg):
     # relayout/rebucketing reorders tiles but must preserve per-camera mass
     np.testing.assert_allclose(masses[0], masses[1], rtol=1e-10)
     np.testing.assert_allclose(masses[0], masses[2], rtol=1e-10)
+
+
+def test_grid2x_stretch_rig_invariants():
+    """BASELINE config 5: the 2x-voxel-resolution MultiviewC stretch grid
+    (cube 12x12 -> 325x325 BEV). Window rig must build, obey every kernel
+    invariant, and preserve per-camera sampling mass across bucketings."""
+    import dataclasses
+
+    cfg = dataclasses.replace(mc_opts, cube_size=(12, 12, 32))
+    assert cfg.grid_shape == (325, 325)
+    grid = make_grid(cfg.world_size, cfg.cube_size[:2], cfg.name)
+    calibs = make_calibrations(cfg, NUM_CAM)
+    feat_hw = pyramid_feat_shapes(cfg.resize_size)[2]  # stride 32 for CI
+    tile_v = 256
+
+    masses = []
+    for layout, buckets in (("flat", 1), ("window", 8)):
+        rig = build_rig(calibs, cfg, grid, [feat_hw], tile_v=tile_v,
+                        dtype=jnp.float32, band_buckets=buckets,
+                        layout=layout)
+        masses.append(_check_rig(rig.scales[0], cfg, tile_v, feat_hw,
+                                 buckets))
+    np.testing.assert_allclose(masses[0], masses[1], rtol=1e-10)

@@ -114,6 +114,58 @@ def main():
         bench("backbone fwd+bwd", bb_fwdbwd, bvars["params"], x,
               force=lambda g_: jax.tree_util.tree_leaves(g_)[0])
 
+    # ------------------------------------------------- stem microbenches --
+    if only is not None and "stem" in only:
+        import flax.linen as nn
+
+        from vfa_tpu.model.resnet import group_norm
+
+        x = batch["images"].reshape(B * cfg.num_cam,
+                                    *batch["images"].shape[2:])
+
+        class Stem(nn.Module):
+            pool: str = "max"
+
+            @nn.compact
+            def __call__(self, z):
+                z = nn.Conv(64, (7, 7), strides=(2, 2),
+                            padding=((3, 3), (3, 3)), use_bias=False)(z)
+                z = nn.relu(group_norm("bn1")(z))
+                if self.pool == "max":
+                    z = nn.max_pool(z, (3, 3), strides=(2, 2),
+                                    padding=((1, 1), (1, 1)))
+                else:
+                    z = nn.avg_pool(z, (3, 3), strides=(2, 2),
+                                    padding=((1, 1), (1, 1)))
+                return z
+
+        for pool in ("max", "avg"):
+            st = Stem(pool=pool)
+            sv = st.init(jax.random.PRNGKey(0), x[:1])
+
+            @jax.jit
+            def st_fb(params, x):
+                return jax.grad(lambda p: jnp.sum(
+                    st.apply({"params": p}, x).astype(jnp.float32) ** 2)
+                )(params)
+
+            bench(f"stem fwd+bwd ({pool}pool)", st_fb, sv["params"], x,
+                  force=lambda g_: jax.tree_util.tree_leaves(g_)[0])
+
+        # GroupNorm alone at layer1 activation scale
+        gn = group_norm("g")
+        a = jax.random.normal(jax.random.PRNGKey(2),
+                              (B * cfg.num_cam, 180, 320, 64), dtype)
+        gv = gn.init(jax.random.PRNGKey(0), a)
+
+        @jax.jit
+        def gn_fb(params, a):
+            return jax.grad(lambda p: jnp.sum(
+                gn.apply({"params": p}, a).astype(jnp.float32) ** 2))(params)
+
+        bench("groupnorm 180x320x64 f+b", gn_fb, gv["params"], a,
+              force=lambda g_: jax.tree_util.tree_leaves(g_)[0])
+
     # ---------------------------------------------------------------- rig --
     if only is None or "rig" in only:
         from vfa_tpu.ops.rig_pallas import rig_sample_scale_pallas
@@ -128,8 +180,10 @@ def main():
         kern = jax.random.normal(key, (256 * nl, 256), dtype) * 0.01
         bias = jnp.zeros((256,), dtype)
 
+        # rig passed as an argument (a closure-captured rig becomes a 2 GB
+        # graph constant and blows the remote compiler's request limit)
         @jax.jit
-        def rig_fwdbwd(kern, feats):
+        def rig_fwdbwd(rig, kern, feats):
             def loss(kern, feats):
                 tot = 0.0
                 for sr, lat in zip(rig.scales, feats):
@@ -140,7 +194,7 @@ def main():
             return jax.grad(loss, argnums=(0, 1))(kern, feats)
 
         @jax.jit
-        def rig_fwd(kern, feats):
+        def rig_fwd(rig, kern, feats):
             tot = 0.0
             for sr, lat in zip(rig.scales, feats):
                 o = rig_sample_scale_pallas(lat, sr, kern, bias,
@@ -148,8 +202,8 @@ def main():
                 tot += jnp.sum(o)
             return tot
 
-        bench("rig fwd", rig_fwd, kern, feats)
-        bench("rig fwd+bwd", rig_fwdbwd, kern, feats,
+        bench("rig fwd", rig_fwd, rig, kern, feats)
+        bench("rig fwd+bwd", rig_fwdbwd, rig, kern, feats,
               force=lambda g_: g_[0])
 
     # --------------------------------------------------------------- step --

@@ -19,6 +19,8 @@ import jax.numpy as jnp
 GN_EPS = 1e-5  # torch GroupNorm default eps
 
 
+
+
 def conv3x3(features: int, stride: int = 1, name: str | None = None) -> nn.Conv:
     return nn.Conv(
         features, (3, 3), strides=(stride, stride), padding=((1, 1), (1, 1)),

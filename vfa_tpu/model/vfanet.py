@@ -139,27 +139,46 @@ class VFANet(nn.Module):
         B, N = images.shape[0], images.shape[1]
         mean = jnp.asarray(IMAGENET_MEAN, dtype=images.dtype)
         std = jnp.asarray(IMAGENET_STD, dtype=images.dtype)
-        x = ((images - mean) / std).reshape(B * N, *images.shape[2:])
+        imgs_flat = images.reshape(B * N, *images.shape[2:])
         flat_calibs = calibs.reshape(B * N, 3, 4)
 
         def trunk(mdl, xc):
+            xc = (xc - mean) / std  # in-graph ImageNet normalization
             f8, f16, f32 = mdl.backbone(xc)
             return (nn.relu(mdl.bn8(mdl.lat8(f8))),
                     nn.relu(mdl.bn16(mdl.lat16(f16))),
                     nn.relu(mdl.bn32(mdl.lat32(f32))))
 
         nchunk = self.backbone_chunks
-        if nchunk > 1 and x.shape[0] % nchunk == 0:
-            # rematerialized per-chunk trunk: residuals are only the lateral
-            # outputs (kept anyway as the rig's sampled features); the stem
-            # temps exist one chunk at a time in fwd AND bwd
-            rtrunk = nn.remat(trunk, prevent_cse=False)
-            parts = [rtrunk(self, xc)
-                     for xc in jnp.split(x, nchunk, axis=0)]
-            lat8, lat16, lat32 = (jnp.concatenate([p[i] for p in parts])
-                                  for i in range(3))
+        if nchunk > 1 and imgs_flat.shape[0] % nchunk == 0:
+            # rematerialized scan over image chunks: scan (unlike a Python
+            # loop, where XLA overlaps the chunk backwards and keeps every
+            # chunk's stem temps alive) serializes fwd AND bwd, so the
+            # conv1/maxpool temps peak at ONE chunk. Residuals per chunk are
+            # only the lateral outputs (kept anyway as the rig's features).
+            # Chunks are sliced from the original image array inside the
+            # body (scanning a reshape-stacked copy kept a fully padded
+            # duplicate of the batch alive), and normalization happens per
+            # chunk for the same reason.
+            chunk = imgs_flat.shape[0] // nchunk
+
+            def trunk_step(mdl, carry, i):
+                xc = jax.lax.dynamic_slice_in_dim(imgs_flat, i * chunk,
+                                                  chunk, axis=0)
+                return carry, trunk(mdl, xc)
+
+            scanned = nn.scan(
+                nn.remat(trunk_step, prevent_cse=False),
+                variable_broadcast="params",
+                split_rngs={"params": False},
+                in_axes=0, out_axes=0,
+            )
+            _, (l8, l16, l32) = scanned(self, 0, jnp.arange(nchunk))
+            lat8 = l8.reshape(B * N, *l8.shape[2:])
+            lat16 = l16.reshape(B * N, *l16.shape[2:])
+            lat32 = l32.reshape(B * N, *l32.shape[2:])
         else:
-            lat8, lat16, lat32 = trunk(self, x)
+            lat8, lat16, lat32 = trunk(self, imgs_flat)
 
         cfg = self.cfg
         L, W = grid.shape[0], grid.shape[1]

@@ -87,7 +87,7 @@ def _next_step(n, t, b, T, B):
 
 def _kernel_win(starts_ref, ii_hbm, a_hbm, kr_ref, out_ref,
                 a_buf, band_buf, sem_a, sem, *, nl, tile_v, wh, ww, C, n_out,
-                a_slots=2):
+                a_slots=2, S=1):
     """Window-layout forward: DMA a compact 2D (wh, ww) feature window and
     flatten it into the matmul's contraction axis. The (wh, ww, C) ->
     (wh*ww, C) reshape is layout-free because ww is 16-aligned (sublane
@@ -100,13 +100,19 @@ def _kernel_win(starts_ref, ii_hbm, a_hbm, kr_ref, out_ref,
     a pipelined BlockSpec double-buffer of A would blow the 16 MB VMEM
     budget on the widest bucket, but two slots of A + one band window fit
     under the build-time band cap. Safe at any B: all reads come from
-    read-only inputs."""
+    read-only inputs.
+
+    S packs that many SCENES into one grid step (grid B axis = scenes/S):
+    the per-step Mosaic/DMA-issue overhead (measured ~4.3 us/step vs
+    ~0.8 us of MXU work at MultiviewC shapes) is amortized S-fold — the S
+    window DMAs fly concurrently and the S dots run back to back on one
+    resident A tile."""
     n = pl.program_id(0)
     t = pl.program_id(1)
     b = pl.program_id(2)
     N = pl.num_programs(0)
     T = pl.num_programs(1)
-    B = pl.num_programs(2)
+    B = pl.num_programs(2)          # scene GROUPS (scenes / S)
     k = b + B * (t + T * n)
     slot = k % 2
     first = k == 0
@@ -119,12 +125,12 @@ def _kernel_win(starts_ref, ii_hbm, a_hbm, kr_ref, out_ref,
     def dma_a(n_, t_, sl):
         return pltpu.make_async_copy(a_hbm.at[n_, t_], a_buf.at[sl], sem_a.at[sl])
 
-    def dma_band(sl, n_, b_, ry_, rx_):
-        return pltpu.make_async_copy(
-            ii_hbm.at[n_, b_, pl.ds(ry_, wh), pl.ds(rx_, ww), :],
-            band_buf.at[sl],
-            sem.at[sl],
-        )
+    def band_dmas(sl, n_, b_, ry_, rx_):
+        return [pltpu.make_async_copy(
+            ii_hbm.at[n_, b_ * S + s, pl.ds(ry_, wh), pl.ds(rx_, ww), :],
+            band_buf.at[sl, s],
+            sem.at[sl, s],
+        ) for s in range(S)]
 
     tt = t + T * n
     a_sl = tt % 2 if a_slots == 2 else 0
@@ -132,7 +138,8 @@ def _kernel_win(starts_ref, ii_hbm, a_hbm, kr_ref, out_ref,
     @pl.when(first)
     def _():
         dma_a(n, t, a_sl).start()
-        dma_band(slot, n, b, ry, rx).start()
+        for d in band_dmas(slot, n, b, ry, rx):
+            d.start()
 
     # prefetch the next step's window (and next tile's A) into the free slot
     n2, t2, b2, new_tile = _next_step(n, t, b, T, B)
@@ -143,7 +150,8 @@ def _kernel_win(starts_ref, ii_hbm, a_hbm, kr_ref, out_ref,
 
     @pl.when(jnp.logical_not(last))
     def _():
-        dma_band(1 - slot, n2c, b2, ry2, rx2).start()
+        for d in band_dmas(1 - slot, n2c, b2, ry2, rx2):
+            d.start()
 
         if a_slots == 2:
             @pl.when(new_tile)
@@ -156,53 +164,60 @@ def _kernel_win(starts_ref, ii_hbm, a_hbm, kr_ref, out_ref,
         def _():
             dma_a(n, t, 0).start()
 
-    dma_band(slot, n, b, ry, rx).wait()
+    for d in band_dmas(slot, n, b, ry, rx):
+        d.wait()
 
     @pl.when(b == 0)
     def _():
         dma_a(n, t, a_sl).wait()
 
-    window = band_buf[slot].reshape(wh * ww, C)
-    vox = jax.lax.dot_general(
-        a_buf[a_sl], window,
-        dimension_numbers=(((1,), (0,)), ((), ())),
-        preferred_element_type=jnp.float32,
-    )                                              # (nl*tv, C)
-    vox = vox.astype(kr_ref.dtype).reshape(nl, tile_v, C)
-    acc = jnp.zeros((tile_v, n_out), jnp.float32)
-    for l in range(nl):
-        acc = acc + jax.lax.dot_general(
-            vox[l], kr_ref[l],
+    for s in range(S):
+        window = band_buf[slot, s].reshape(wh * ww, C)
+        vox = jax.lax.dot_general(
+            a_buf[a_sl], window,
             dimension_numbers=(((1,), (0,)), ((), ())),
             preferred_element_type=jnp.float32,
-        )
-    out_ref[0, 0, 0] = acc
+        )                                          # (nl*tv, C)
+        vox = vox.astype(kr_ref.dtype).reshape(nl, tile_v, C)
+        acc = jnp.zeros((tile_v, n_out), jnp.float32)
+        for l in range(nl):
+            acc = acc + jax.lax.dot_general(
+                vox[l], kr_ref[l],
+                dimension_numbers=(((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )
+        out_ref[0, 0, 0, s] = acc
 
 
 def _bwd_kernel_win_pipe(starts_ref, ii_hbm, a_hbm, kr_ref, g_ref, dii_in_hbm,
                          dii_hbm, dkr_ref, a_buf, band_buf, dband_buf,
                          sem_a, sem_b, sem_d, sem_w,
-                         *, nl, tile_v, wh, ww, C, n_out, a_slots):
+                         *, nl, tile_v, wh, ww, C, n_out, a_slots, S=1):
     """Pipelined window VJP: the serial variant waits 4 DMAs per grid step
     and is pure latency (~6k steps/scene-batch); this one overlaps them.
 
     Correctness of the overlap: consecutive grid steps process DIFFERENT
-    scenes (b is the fastest axis), so their dII windows live in disjoint
-    HBM slices — the read for step k+1 may fly while step k's write is in
-    flight. Same-scene writes are B steps apart and the 2-slot discipline
-    (a write is waited before its slot is reused, one step later) has them
-    complete before any same-scene read. Requires B >= 2; B == 1 uses the
-    serial kernel. DMA waits only need the byte count, so a descriptor
-    rebuilt with the current step's indices waits a prior step's transfer.
+    scene groups (b is the fastest axis), so their dII windows live in
+    disjoint HBM slices — the reads for step k+1 may fly while step k's
+    writes are in flight. Same-scene writes are B steps apart and the
+    2-slot discipline (a write is waited before its slot is reused, one
+    step later) has them complete before any same-scene read. Requires
+    >= 2 scene groups; fewer use the serial kernel. DMA waits only need
+    the byte count, so a descriptor rebuilt with the current step's
+    indices waits a prior step's transfer.
 
     a_slots=2 additionally prefetches the next tile's A during the current
-    tile's last scene step (static choice: only when 2 A tiles fit VMEM)."""
+    tile's last scene step (static choice: only when 2 A tiles fit VMEM).
+
+    S packs that many scenes per grid step (see `_kernel_win`): the S
+    window reads / dII reads / dII writes fly concurrently and the per-step
+    Mosaic overhead is amortized S-fold."""
     n = pl.program_id(0)
     t = pl.program_id(1)
     b = pl.program_id(2)
     N = pl.num_programs(0)
     T = pl.num_programs(1)
-    B = pl.num_programs(2)
+    B = pl.num_programs(2)          # scene GROUPS (scenes / S)
     k = b + B * (t + T * n)
     slot = k % 2
     first = k == 0
@@ -218,28 +233,30 @@ def _bwd_kernel_win_pipe(starts_ref, ii_hbm, a_hbm, kr_ref, g_ref, dii_in_hbm,
         return pltpu.make_async_copy(a_hbm.at[n_, t_], a_buf.at[sl],
                                      sem_a.at[sl])
 
-    def band_rd(sl, n_, b_, ry_, rx_):
-        return pltpu.make_async_copy(
-            ii_hbm.at[n_, b_, pl.ds(ry_, wh), pl.ds(rx_, ww), :],
-            band_buf.at[sl], sem_b.at[sl])
+    def band_rds(sl, n_, b_, ry_, rx_):
+        return [pltpu.make_async_copy(
+            ii_hbm.at[n_, b_ * S + s, pl.ds(ry_, wh), pl.ds(rx_, ww), :],
+            band_buf.at[sl, s], sem_b.at[sl, s]) for s in range(S)]
 
-    def dii_rd(sl, n_, b_, ry_, rx_):
-        return pltpu.make_async_copy(
-            dii_hbm.at[n_, b_, pl.ds(ry_, wh), pl.ds(rx_, ww), :],
-            dband_buf.at[sl], sem_d.at[sl])
+    def dii_rds(sl, n_, b_, ry_, rx_):
+        return [pltpu.make_async_copy(
+            dii_hbm.at[n_, b_ * S + s, pl.ds(ry_, wh), pl.ds(rx_, ww), :],
+            dband_buf.at[sl, s], sem_d.at[sl, s]) for s in range(S)]
 
-    def dii_wr(sl, n_, b_, ry_, rx_):
-        return pltpu.make_async_copy(
-            dband_buf.at[sl],
-            dii_hbm.at[n_, b_, pl.ds(ry_, wh), pl.ds(rx_, ww), :],
-            sem_w.at[sl])
+    def dii_wrs(sl, n_, b_, ry_, rx_):
+        return [pltpu.make_async_copy(
+            dband_buf.at[sl, s],
+            dii_hbm.at[n_, b_ * S + s, pl.ds(ry_, wh), pl.ds(rx_, ww), :],
+            sem_w.at[sl, s]) for s in range(S)]
 
     @pl.when(first)
     def _():
         dkr_ref[:] = jnp.zeros_like(dkr_ref)
         dma_a(n, t, a_sl).start()
-        band_rd(slot, n, b, ry, rx).start()
-        dii_rd(slot, n, b, ry, rx).start()
+        for d in band_rds(slot, n, b, ry, rx):
+            d.start()
+        for d in dii_rds(slot, n, b, ry, rx):
+            d.start()
 
     n2, t2, b2, new_tile = _next_step(n, t, b, T, B)
     n2c = jnp.minimum(n2, N - 1)
@@ -250,14 +267,17 @@ def _bwd_kernel_win_pipe(starts_ref, ii_hbm, a_hbm, kr_ref, g_ref, dii_in_hbm,
 
     @pl.when(jnp.logical_not(last))
     def _():
-        # the write that used nslot (issued at step k-1) must land before
+        # the writes that used nslot (issued at step k-1) must land before
         # the slot is refilled
         @pl.when(jnp.logical_not(first))
         def _():
-            dii_wr(nslot, n, b, ry, rx).wait()
+            for d in dii_wrs(nslot, n, b, ry, rx):
+                d.wait()
 
-        band_rd(nslot, n2c, b2, ry2, rx2).start()
-        dii_rd(nslot, n2c, b2, ry2, rx2).start()
+        for d in band_rds(nslot, n2c, b2, ry2, rx2):
+            d.start()
+        for d in dii_rds(nslot, n2c, b2, ry2, rx2):
+            d.start()
         if a_slots == 2:
             @pl.when(new_tile)
             def _():
@@ -268,50 +288,56 @@ def _bwd_kernel_win_pipe(starts_ref, ii_hbm, a_hbm, kr_ref, g_ref, dii_in_hbm,
         def _():
             dma_a(n, t, 0).start()
 
-    g = g_ref[0, 0, 0]                                   # (tile_v, n_out)
-    band_rd(slot, n, b, ry, rx).wait()
-    dii_rd(slot, n, b, ry, rx).wait()
+    for d in band_rds(slot, n, b, ry, rx):
+        d.wait()
+    for d in dii_rds(slot, n, b, ry, rx):
+        d.wait()
 
     @pl.when(b == 0)
     def _():
         dma_a(n, t, a_sl).wait()
 
-    window = band_buf[slot].reshape(wh * ww, C)
     for l in range(nl):
         a_l = a_buf[a_sl, l * tile_v:(l + 1) * tile_v]   # (tile_v, wh*ww)
-        vox_l = jax.lax.dot_general(
-            a_l, window,
-            dimension_numbers=(((1,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32,
-        )                                                # (tile_v, C)
-        dkr_ref[l] += jax.lax.dot_general(
-            vox_l, g,
-            dimension_numbers=(((0,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32,
-        )
-        dv_l = jax.lax.dot_general(
-            g, kr_ref[l],
-            dimension_numbers=(((1,), (1,)), ((), ())),
-            preferred_element_type=jnp.float32,
-        )                                                # (tile_v, C)
-        dband_buf[slot] += jax.lax.dot_general(
-            a_l, dv_l,
-            dimension_numbers=(((0,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32,
-        ).reshape(wh, ww, C)
+        for s in range(S):
+            g = g_ref[0, 0, 0, s]                        # (tile_v, n_out)
+            window = band_buf[slot, s].reshape(wh * ww, C)
+            vox_l = jax.lax.dot_general(
+                a_l, window,
+                dimension_numbers=(((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )                                            # (tile_v, C)
+            dkr_ref[l] += jax.lax.dot_general(
+                vox_l, g,
+                dimension_numbers=(((0,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )
+            dv_l = jax.lax.dot_general(
+                g, kr_ref[l],
+                dimension_numbers=(((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )                                            # (tile_v, C)
+            dband_buf[slot, s] += jax.lax.dot_general(
+                a_l, dv_l,
+                dimension_numbers=(((0,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            ).reshape(wh, ww, C)
 
-    dii_wr(slot, n, b, ry, rx).start()
+    for d in dii_wrs(slot, n, b, ry, rx):
+        d.start()
 
     @pl.when(last)
     def _():
-        # drain: the write issued at step K-2 (other slot) is only waited in
-        # the ~last prefetch block, which the final step skips — wait it
-        # here along with this step's own write
+        # drain: the writes issued at step K-2 (other slot) are only waited
+        # in the ~last prefetch block, which the final step skips — wait
+        # them here along with this step's own writes
         @pl.when(jnp.logical_not(first))
         def _():
-            dii_wr(nslot, n, b, ry, rx).wait()
+            for d in dii_wrs(nslot, n, b, ry, rx):
+                d.wait()
 
-        dii_wr(slot, n, b, ry, rx).wait()
+        for d in dii_wrs(slot, n, b, ry, rx):
+            d.wait()
 
 
 def _bwd_kernel_win(starts_ref, ii_hbm, a_hbm, kr_ref, g_ref, dii_in_hbm,
@@ -508,16 +534,53 @@ def _bucket_fwd_call(starts, ii, A_b, Kr, *, N, T, B, nl, tile_v, band, C,
             _check_window_vmem(
                 "fwd", band * per1 + (int(16.0e6) - budget),
                 band=band, a_dtype=A_b.dtype, f_dtype=ii.dtype)
+        # scene packing: largest S with S | B whose extra window buffers
+        # still fit the budget (per-step overhead is amortized S-fold)
+        a_bytes = a_slots * rows * band * A_b.dtype.itemsize
+        S = 1
+        for cand in (8, 4, 2):
+            if B % cand == 0 and (a_bytes + 2 * cand * band * C
+                                  * ii.dtype.itemsize) <= budget:
+                S = cand
+                break
         kernel = functools.partial(
             _kernel_win, nl=nl, tile_v=tile_v, wh=wh, ww=ww, C=C, n_out=n_out,
-            a_slots=a_slots)
+            a_slots=a_slots, S=S)
         a_spec = pl.BlockSpec(memory_space=pl.ANY)
         scratches = [
             pltpu.VMEM((a_slots, nl * tile_v, band), A_b.dtype),
-            pltpu.VMEM((2, wh, ww, C), ii.dtype),
+            pltpu.VMEM((2, S, wh, ww, C), ii.dtype),
             pltpu.SemaphoreType.DMA((a_slots,)),
-            pltpu.SemaphoreType.DMA((2,)),
+            pltpu.SemaphoreType.DMA((2, S)),
         ]
+        grid_spec = pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=1,
+            grid=(N, T, B // S),
+            in_specs=[
+                pl.BlockSpec(memory_space=pl.ANY),          # ii (HBM)
+                a_spec,                                     # A tile
+                pl.BlockSpec(memory_space=pltpu.VMEM),      # Kr
+            ],
+            out_specs=pl.BlockSpec(
+                (1, 1, 1, S, tile_v, n_out),
+                lambda n, t, b, *_: (n, t, b, 0, 0, 0),
+                memory_space=pltpu.VMEM),
+            scratch_shapes=scratches,
+        )
+        tiles = pl.pallas_call(
+            kernel,
+            grid_spec=grid_spec,
+            out_shape=jax.ShapeDtypeStruct((N, T, B // S, S, tile_v, n_out),
+                                           jnp.float32),
+            interpret=interpret,
+            # all-arbitrary: the window kernel pipelines DMA state across
+            # EVERY grid dimension (lexicographic step order is
+            # load-bearing), so no axis may be declared parallel
+            compiler_params=pltpu.CompilerParams(
+                dimension_semantics=("arbitrary",) * 3,
+            ),
+        )(starts, ii, A_b, Kr)
+        return tiles.reshape(N, T, B, tile_v, n_out)
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
         grid=(N, T, B),
@@ -531,18 +594,13 @@ def _bucket_fwd_call(starts, ii, A_b, Kr, *, N, T, B, nl, tile_v, band, C,
             memory_space=pltpu.VMEM),
         scratch_shapes=scratches,
     )
-    # all-arbitrary: the window kernel pipelines DMA state across EVERY grid
-    # dimension (lexicographic step order is load-bearing), so no axis may
-    # be declared parallel
-    sems = (("arbitrary",) * 3 if window is not None
-            else ("parallel", "arbitrary", "arbitrary"))
     return pl.pallas_call(
         kernel,
         grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct((N, T, B, tile_v, n_out), jnp.float32),
         interpret=interpret,
         compiler_params=pltpu.CompilerParams(
-            dimension_semantics=sems,
+            dimension_semantics=("parallel", "arbitrary", "arbitrary"),
         ),
     )(starts, ii, A_b, Kr)
 
@@ -580,17 +638,29 @@ def _bucket_bwd_call(starts, ii, A_b, Kr, g, *, N, T, B, nl, tile_v, band, C,
         fits1 = band * (rows * A_b.dtype.itemsize + per) <= budget
         if B >= 2 and (fits1 or fits2):
             a_slots = 2 if fits2 else 1
+            # scene packing (see _kernel_win): largest S with at least 2
+            # scene groups (the pipelined write/read hazard argument needs
+            # consecutive steps on different scenes) whose extra window +
+            # dII buffers fit the budget
+            a_bytes = a_slots * rows * band * A_b.dtype.itemsize
+            per_s = 2 * band * C * (ii.dtype.itemsize + 4)
+            S = 1
+            for cand in (4, 2):
+                if (B % cand == 0 and B // cand >= 2
+                        and a_bytes + cand * per_s + band * C * 4 <= budget):
+                    S = cand
+                    break
             kernel = functools.partial(
                 _bwd_kernel_win_pipe, nl=nl, tile_v=tile_v, wh=wh, ww=ww,
-                C=C, n_out=n_out, a_slots=a_slots)
+                C=C, n_out=n_out, a_slots=a_slots, S=S)
             scratches = [
                 pltpu.VMEM((a_slots, rows, band), A_b.dtype),  # A tiles
-                pltpu.VMEM((2, wh, ww, C), ii.dtype),       # feature windows
-                pltpu.VMEM((2, wh, ww, C), jnp.float32),    # dII windows
+                pltpu.VMEM((2, S, wh, ww, C), ii.dtype),    # feature windows
+                pltpu.VMEM((2, S, wh, ww, C), jnp.float32),  # dII windows
                 pltpu.SemaphoreType.DMA((a_slots,)),
-                pltpu.SemaphoreType.DMA((2,)),
-                pltpu.SemaphoreType.DMA((2,)),
-                pltpu.SemaphoreType.DMA((2,)),
+                pltpu.SemaphoreType.DMA((2, S)),
+                pltpu.SemaphoreType.DMA((2, S)),
+                pltpu.SemaphoreType.DMA((2, S)),
             ]
         else:
             # serial fallback: A single-buffered, one feature + one dII
@@ -612,16 +682,28 @@ def _bucket_bwd_call(starts, ii, A_b, Kr, g, *, N, T, B, nl, tile_v, band, C,
                 pltpu.SemaphoreType.DMA(()),
                 pltpu.SemaphoreType.DMA(()),
             ]
+    # the packed pipelined kernel takes a 6-d scene-grouped g and a B//S
+    # grid; the serial window / flat kernels keep the legacy 5-d layout
+    S_pack = getattr(kernel, "keywords", {}).get("S")
+    if S_pack:
+        g = g.reshape(N, T, B // S_pack, S_pack, tile_v, n_out)
+        grid_b = B // S_pack
+        g_spec = pl.BlockSpec((1, 1, 1, S_pack, tile_v, n_out),
+                              lambda n, t, b, *_: (n, t, b, 0, 0, 0),
+                              memory_space=pltpu.VMEM)
+    else:
+        grid_b = B
+        g_spec = pl.BlockSpec((1, 1, 1, tile_v, n_out),
+                              lambda n, t, b, *_: (n, t, b, 0, 0),
+                              memory_space=pltpu.VMEM)
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
-        grid=(N, T, B),
+        grid=(N, T, grid_b),
         in_specs=[
             pl.BlockSpec(memory_space=pl.ANY),              # ii (HBM)
             a_spec,                                         # A tile
             pl.BlockSpec(memory_space=pltpu.VMEM),          # Kr
-            pl.BlockSpec((1, 1, 1, tile_v, n_out),
-                         lambda n, t, b, *_: (n, t, b, 0, 0),
-                         memory_space=pltpu.VMEM),          # g tile
+            g_spec,                                         # g tile
             pl.BlockSpec(memory_space=pl.ANY),              # dII init (HBM)
         ],
         out_specs=(
