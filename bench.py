@@ -234,16 +234,25 @@ def main():
         try:
             jfn, fargs = maker(bs)
             sync(jfn(*fargs))  # compile + first run
+            # warmup must be inside the fallback: in --train mode the second
+            # call recompiles for the donated state's output layouts, and
+            # THAT compile can be the one that exceeds HBM
+            for _ in range(args.warmup):
+                sync(jfn(*fargs))
             break
         except Exception as e:  # noqa: BLE001 — OOM fallback to smaller batch
             print(f"batch {bs} failed: {type(e).__name__}: {e}", file=sys.stderr)
             if bs == batch_sizes[-1]:
                 raise
+            # drop the failed attempt's executable + device args before the
+            # next attempt: a mid-execution OOM leaves them bound, and the
+            # leaked HBM cascades every smaller batch into the same OOM
+            jfn = fargs = None
+            import gc
+
+            gc.collect()
     else:
         raise RuntimeError("no batch size worked")
-
-    for _ in range(args.warmup):
-        sync(jfn(*fargs))
 
     # steady-state throughput: pipeline dispatches, sync once at the end
     t0 = time.perf_counter()

@@ -14,17 +14,20 @@
 #include <cstdint>
 #include <vector>
 
-extern "C" {
+namespace {
 
-// Returns 0 on success. row_to_col must have space for n ints.
-int solve_lsap(const double* cost, int32_t n, int32_t m, int32_t* row_to_col) {
+// Core solver over an n x m submatrix of a row-major buffer with row
+// stride `lda` (lda == m for a dense matrix; larger for the padded
+// batched layout below).
+int solve_lsap_strided(const double* cost, int32_t n, int32_t m, int32_t lda,
+                       int32_t* row_to_col) {
   // Transpose internally if rows > cols so we always assign every row
   // of the smaller side.
   const bool transposed = n > m;
   const int32_t R = transposed ? m : n;
   const int32_t C = transposed ? n : m;
   auto at = [&](int32_t r, int32_t c) -> double {
-    return transposed ? cost[(int64_t)c * m + r] : cost[(int64_t)r * m + c];
+    return transposed ? cost[(int64_t)c * lda + r] : cost[(int64_t)r * lda + c];
   };
 
   // Dual potentials and matching state. Columns are 1-indexed internally
@@ -84,6 +87,35 @@ int solve_lsap(const double* cost, int32_t n, int32_t m, int32_t* row_to_col) {
     }
   }
   return 0;
+}
+
+}  // namespace
+
+extern "C" {
+
+// Returns 0 on success. row_to_col must have space for n ints.
+int solve_lsap(const double* cost, int32_t n, int32_t m, int32_t* row_to_col) {
+  return solve_lsap_strided(cost, n, m, m, row_to_col);
+}
+
+// Batched variant for the vectorized CLEAR-metrics path: `costs` is a
+// (batch, pad_n, pad_m) row-major tensor; problem b solves its top-left
+// ns[b] x ms[b] submatrix (the padding is never read). row_to_col is
+// (batch, pad_n), filled with -1 for unassigned/padded rows. Returns the
+// first nonzero solver status, or 0 if all succeed.
+int solve_lsap_batch(const double* costs, const int32_t* ns, const int32_t* ms,
+                     int32_t batch, int32_t pad_n, int32_t pad_m,
+                     int32_t* row_to_col) {
+  int status = 0;
+  const int64_t cstride = (int64_t)pad_n * pad_m;
+  for (int32_t b = 0; b < batch; ++b) {
+    int32_t* out = row_to_col + (int64_t)b * pad_n;
+    for (int32_t i = 0; i < pad_n; ++i) out[i] = -1;
+    if (ns[b] <= 0 || ms[b] <= 0) continue;
+    int rc = solve_lsap_strided(costs + b * cstride, ns[b], ms[b], pad_m, out);
+    if (rc != 0 && status == 0) status = rc;
+  }
+  return status;
 }
 
 }  // extern "C"

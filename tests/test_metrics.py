@@ -174,6 +174,34 @@ def test_native_matching_agrees_with_scipy(rng):
         assert len(np.unique(c1)) == len(c1)
 
 
+def test_batch_matching_agrees_with_scipy(rng):
+    """The batched padded solver must reproduce scipy per submatrix —
+    including empty problems and full-rectangle padding."""
+    from scipy.optimize import linear_sum_assignment as scipy_lsa
+
+    from vfa_tpu.native import batch_linear_sum_assignment
+
+    sizes = [(5, 5), (3, 7), (7, 3), (0, 4), (4, 0), (1, 1), (7, 7)]
+    pad_n = max(n for n, _ in sizes)
+    pad_m = max(m for _, m in sizes)
+    costs = rng.uniform(0, 100, size=(len(sizes), pad_n, pad_m))
+    ns = np.array([n for n, _ in sizes])
+    ms = np.array([m for _, m in sizes])
+    col = batch_linear_sum_assignment(costs, ns, ms)
+    assert col.shape == (len(sizes), pad_n)
+    for b, (n, m) in enumerate(sizes):
+        rows = np.nonzero(col[b] >= 0)[0]
+        assert (col[b, n:] == -1).all()
+        if n == 0 or m == 0:
+            assert len(rows) == 0
+            continue
+        assert len(rows) == min(n, m)
+        assert len(np.unique(col[b, rows])) == len(rows)
+        r2, c2 = scipy_lsa(costs[b, :n, :m])
+        got = costs[b, rows, col[b, rows]].sum()
+        assert got == pytest.approx(costs[b, r2, c2].sum(), abs=1e-9)
+
+
 def test_ap_aos_perfect_predictions():
     # 3 gts, 3 perfect predictions -> AP = AOS = 1
     gts = np.array([

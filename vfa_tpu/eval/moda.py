@@ -4,9 +4,9 @@ Replaces both metric backends of the reference — the MATLAB devkit
 (`motchallenge-devkit/utils/CLEAR_MOD_HUN.m`, driven out-of-process via
 matlab.engine at `vfa/evaluation/evaluate.py:9-16`) and its Python port
 (`vfa/evaluation/pyeval/CLEAR_MOD_HUN.py`) — with one vectorized numpy/scipy
-implementation. Per frame: gt<->det Euclidean distance matrix, Hungarian
-matching with costs above the distance threshold set to 1e6, matches kept
-only below the threshold.
+implementation. All frames at once: one padded (F, Gmax, Dmax) distance
+tensor (costs above the distance threshold set to 1e6) and a single batched
+assignment call, matches kept only below the threshold.
 
 The two reference backends disagree on the threshold default (MATLAB td=78,
 `CLEAR_MOD_HUN.m:36`; pyeval td=30, `CLEAR_MOD_HUN.py:27`); `td` is an
@@ -26,10 +26,68 @@ import numpy as np
 DEFAULT_TD = 30.0
 
 
-def _linear_sum_assignment(cost: np.ndarray):
-    from vfa_tpu.native import linear_sum_assignment
+def _clear_frame_stats(gt: np.ndarray, det: np.ndarray, td: float, F: int,
+                       eq_matchable: bool):
+    """Batched per-frame matching core shared by both metric variants.
 
-    return linear_sum_assignment(cost)
+    Pads every frame's gt/det points to the cross-frame maxima, builds ALL
+    distance matrices in one (F_active, Gmax, Dmax) tensor, and solves every
+    frame's assignment in a single native `solve_lsap_batch` call (scipy
+    loop fallback) — replacing the per-frame Python loop the reference
+    backends use (`CLEAR_MOD_HUN.py:40-90`, `CLEAR_MOD_HUN.m:53-230`).
+
+    Rows with frame >= F are ignored entirely (both reference backends
+    iterate `for t in range(F)` with F from one file's frames only).
+    `eq_matchable`: MATLAB semantics — pairs at exactly dist == td are
+    matchable (but still contribute 0 to MODP via the strict `< td`).
+
+    Returns (n_c, n_g, n_fp, n_m, modp_sum) totals.
+    """
+    gtf = gt[:, 0].astype(np.int64) if len(gt) else np.zeros(0, np.int64)
+    detf = det[:, 0].astype(np.int64) if len(det) else np.zeros(0, np.int64)
+    gt_xy = (gt[:, 2:4] if len(gt) else np.zeros((0, 2)))[gtf < F]
+    det_xy = (det[:, 2:4] if len(det) else np.zeros((0, 2)))[detf < F]
+    gtf, detf = gtf[gtf < F], detf[detf < F]
+
+    gcnt = np.bincount(gtf, minlength=F)
+    dcnt = np.bincount(detf, minlength=F)
+    act = np.nonzero((gcnt > 0) & (dcnt > 0))[0]
+    c = np.zeros(F)
+    modp_sum = 0.0
+    if len(act):
+        Gm, Dm = int(gcnt[act].max()), int(dcnt[act].max())
+        # scatter points into (F, max, 2) padded slabs: position within a
+        # frame = running index minus the frame's start offset (stable sort
+        # keeps the file's row order within each frame)
+        frame_slot = {}
+        for which, (f_ids, xy, mx) in enumerate(
+                ((gtf, gt_xy, Gm), (detf, det_xy, Dm))):
+            order = np.argsort(f_ids, kind="stable")
+            f_s, xy_s = f_ids[order], xy[order]
+            cnt = gcnt if which == 0 else dcnt
+            start = np.concatenate([[0], np.cumsum(cnt)[:-1]])
+            pos = np.arange(len(f_s)) - start[f_s]
+            pad = np.zeros((F, mx, 2))
+            pad[f_s, pos] = xy_s
+            frame_slot[which] = pad
+        gp, dp = frame_slot[0][act], frame_slot[1][act]  # (Fa,Gm,2),(Fa,Dm,2)
+
+        dist = np.linalg.norm(gp[:, :, None, :] - dp[:, None, :, :], axis=-1)
+        cost = np.where(dist > td, 1e6, dist)
+
+        from vfa_tpu.native import batch_linear_sum_assignment
+
+        col = batch_linear_sum_assignment(cost, gcnt[act], dcnt[act])
+        assigned = col >= 0                              # (Fa, Gm)
+        d = np.take_along_axis(dist, np.maximum(col, 0)[:, :, None],
+                               axis=2)[:, :, 0]
+        keep = assigned & ((d <= td) if eq_matchable else (d < td))
+        c[act] = keep.sum(axis=1)
+        modp_sum = float(np.sum((1.0 - d / td) * (keep & (d < td))))
+
+    fp = dcnt - c
+    miss = gcnt - c
+    return c.sum(), float(gcnt.sum()), fp.sum(), miss.sum(), modp_sum
 
 
 def clear_mod_metrics(gt: np.ndarray, det: np.ndarray, td: float = DEFAULT_TD):
@@ -41,30 +99,8 @@ def clear_mod_metrics(gt: np.ndarray, det: np.ndarray, td: float = DEFAULT_TD):
     (`CLEAR_MOD_HUN.py:94-99`).
     """
     F = int(gt[:, 0].max()) + 1 if len(gt) else 0
-    c = np.zeros(F)        # true positives per frame
-    fp = np.zeros(F)
-    miss = np.zeros(F)
-    g = np.zeros(F)        # gt count per frame
-    modp_sum = 0.0
-
-    for t in range(F):
-        gt_t = gt[gt[:, 0] == t, 2:4]
-        det_t = det[det[:, 0] == t, 2:4] if len(det) else np.zeros((0, 2))
-        g[t] = len(gt_t)
-        matched_d = np.zeros(0)
-        if len(gt_t) and len(det_t):
-            dist = np.linalg.norm(gt_t[:, None, :] - det_t[None, :, :], axis=-1)
-            cost = np.where(dist > td, 1e6, dist)
-            rows, cols = _linear_sum_assignment(cost)
-            keep = cost[rows, cols] < td
-            rows, cols = rows[keep], cols[keep]
-            matched_d = dist[rows, cols]
-        c[t] = len(matched_d)
-        fp[t] = len(det_t) - c[t]
-        miss[t] = g[t] - c[t]
-        modp_sum += np.sum(1.0 - matched_d[matched_d < td] / td)
-
-    n_c, n_g, n_fp, n_m = c.sum(), g.sum(), fp.sum(), miss.sum()
+    n_c, n_g, n_fp, n_m, modp_sum = _clear_frame_stats(
+        gt, det if len(det) else np.zeros((0, 4)), td, F, eq_matchable=False)
     modp = modp_sum / n_c * 100 if n_c > 0 else 0.0
     moda = (1.0 - (n_m + n_fp) / n_g) * 100 if n_g > 0 else 0.0
     recall = n_c / n_g * 100 if n_g > 0 else 0.0
@@ -108,30 +144,8 @@ def clear_mod_matlab(gt: np.ndarray, det: np.ndarray, td: float = MATLAB_TD):
     """
     F = int(det[:, 0].max()) + 1 if len(det) else 0
     Fgt = int(gt[:, 0].max()) + 1 if len(gt) else 0
-    c = np.zeros(F)
-    fp = np.zeros(F)
-    miss = np.zeros(F)
-    g = np.zeros(F)
-    modp_sum = 0.0
-
-    for t in range(F):
-        gt_t = gt[gt[:, 0] == t, 2:4] if len(gt) else np.zeros((0, 2))
-        det_t = det[det[:, 0] == t, 2:4]
-        g[t] = len(gt_t)
-        matched_d = np.zeros(0)
-        if len(gt_t) and len(det_t):
-            dist = np.linalg.norm(gt_t[:, None, :] - det_t[None, :, :], axis=-1)
-            cost = np.where(dist > td, 1e6, dist)
-            if (cost < 1e6).any():
-                rows, cols = _linear_sum_assignment(cost)
-                keep = dist[rows, cols] <= td
-                matched_d = dist[rows[keep], cols[keep]]
-        c[t] = len(matched_d)
-        fp[t] = len(det_t) - c[t]
-        miss[t] = g[t] - c[t]
-        modp_sum += np.sum(1.0 - matched_d[matched_d < td] / td)
-
-    n_c, n_g, n_fp, n_m = c.sum(), g.sum(), fp.sum(), miss.sum()
+    n_c, n_g, n_fp, n_m, modp_sum = _clear_frame_stats(
+        gt if len(gt) else np.zeros((0, 4)), det, td, F, eq_matchable=True)
     out = {
         "recall": n_c / n_g * 100 if n_g > 0 else 0.0,
         "precision": n_c / (n_fp + n_c) * 100 if (n_fp + n_c) > 0 else 0.0,

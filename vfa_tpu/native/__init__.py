@@ -62,6 +62,12 @@ def _get_lib():
             ctypes.POINTER(ctypes.c_double), ctypes.c_int32, ctypes.c_int32,
             ctypes.POINTER(ctypes.c_int32),
         ]
+        lib.solve_lsap_batch.restype = ctypes.c_int
+        lib.solve_lsap_batch.argtypes = [
+            ctypes.POINTER(ctypes.c_double), ctypes.POINTER(ctypes.c_int32),
+            ctypes.POINTER(ctypes.c_int32), ctypes.c_int32, ctypes.c_int32,
+            ctypes.c_int32, ctypes.POINTER(ctypes.c_int32),
+        ]
         _LIB = lib
     return _LIB
 
@@ -100,3 +106,45 @@ def linear_sum_assignment(cost: np.ndarray):
         return scipy_lsa(cost)
     rows = np.nonzero(row_to_col >= 0)[0]
     return rows.astype(np.int64), row_to_col[rows].astype(np.int64)
+
+
+def batch_linear_sum_assignment(costs: np.ndarray, ns: np.ndarray,
+                                ms: np.ndarray) -> np.ndarray:
+    """Solve a batch of padded assignment problems in one native call.
+
+    costs: (B, pad_n, pad_m); problem b is its top-left ns[b] x ms[b]
+    submatrix (padding never read). Returns row_to_col (B, pad_n) int32
+    with -1 for unassigned/padded rows — the batched form the vectorized
+    CLEAR-metrics path (eval/moda.py) consumes. Falls back to a per-problem
+    scipy loop when the native library is unavailable.
+    """
+    costs = np.ascontiguousarray(costs, dtype=np.float64)
+    B, pad_n, pad_m = costs.shape
+    ns = np.ascontiguousarray(ns, dtype=np.int32)
+    ms = np.ascontiguousarray(ms, dtype=np.int32)
+    out = np.full((B, pad_n), -1, np.int32)
+    if B == 0:
+        return out
+
+    use_native = os.environ.get("VFA_TPU_NATIVE_MATCHING", "1") != "0"
+    lib = _get_lib() if use_native else None
+    if lib is not None:
+        rc = lib.solve_lsap_batch(
+            costs.ctypes.data_as(ctypes.POINTER(ctypes.c_double)),
+            ns.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+            ms.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+            np.int32(B), np.int32(pad_n), np.int32(pad_m),
+            out.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+        )
+        if rc == 0:
+            return out
+        out[:] = -1  # pragma: no cover — fall through to scipy
+
+    from scipy.optimize import linear_sum_assignment as scipy_lsa
+
+    for b in range(B):
+        if ns[b] <= 0 or ms[b] <= 0:
+            continue
+        r, c = scipy_lsa(costs[b, :ns[b], :ms[b]])
+        out[b, r] = c
+    return out

@@ -191,7 +191,7 @@ def _kernel_win(starts_ref, ii_hbm, a_hbm, kr_ref, out_ref,
 
 def _bwd_kernel_win_pipe(starts_ref, ii_hbm, a_hbm, kr_ref, g_ref, dii_in_hbm,
                          dii_hbm, dkr_ref, a_buf, band_buf, dband_buf,
-                         sem_a, sem_b, sem_d, sem_w,
+                         dvox_buf, sem_a, sem_b, sem_d, sem_w,
                          *, nl, tile_v, wh, ww, C, n_out, a_slots, S=1):
     """Pipelined window VJP: the serial variant waits 4 DMAs per grid step
     and is pure latency (~6k steps/scene-batch); this one overlaps them.
@@ -297,31 +297,36 @@ def _bwd_kernel_win_pipe(starts_ref, ii_hbm, a_hbm, kr_ref, g_ref, dii_in_hbm,
     def _():
         dma_a(n, t, a_sl).wait()
 
-    for l in range(nl):
-        a_l = a_buf[a_sl, l * tile_v:(l + 1) * tile_v]   # (tile_v, wh*ww)
-        for s in range(S):
-            g = g_ref[0, 0, 0, s]                        # (tile_v, n_out)
-            window = band_buf[slot, s].reshape(wh * ww, C)
-            vox_l = jax.lax.dot_general(
-                a_l, window,
-                dimension_numbers=(((1,), (0,)), ((), ())),
-                preferred_element_type=jnp.float32,
-            )                                            # (tile_v, C)
+    # per scene: ONE (rows, band) x (band, C) forward-recompute dot and ONE
+    # (band, rows) x (rows, C) window-gradient dot (contraction = rows =
+    # nl*tile_v, a full MXU pass) instead of nl tile_v-contraction dots —
+    # the per-layer work that remains (dKr blocks, dvox staging) contracts
+    # only tile_v x n_out
+    a_t = a_buf[a_sl]                                    # (rows, wh*ww)
+    for s in range(S):
+        g = g_ref[0, 0, 0, s]                            # (tile_v, n_out)
+        window = band_buf[slot, s].reshape(wh * ww, C)
+        vox = jax.lax.dot_general(
+            a_t, window,
+            dimension_numbers=(((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )                                                # (rows, C)
+        for l in range(nl):
             dkr_ref[l] += jax.lax.dot_general(
-                vox_l, g,
+                vox[l * tile_v:(l + 1) * tile_v], g,
                 dimension_numbers=(((0,), (0,)), ((), ())),
                 preferred_element_type=jnp.float32,
             )
-            dv_l = jax.lax.dot_general(
+            dvox_buf[l * tile_v:(l + 1) * tile_v] = jax.lax.dot_general(
                 g, kr_ref[l],
                 dimension_numbers=(((1,), (1,)), ((), ())),
                 preferred_element_type=jnp.float32,
             )                                            # (tile_v, C)
-            dband_buf[slot, s] += jax.lax.dot_general(
-                a_l, dv_l,
-                dimension_numbers=(((0,), (0,)), ((), ())),
-                preferred_element_type=jnp.float32,
-            ).reshape(wh, ww, C)
+        dband_buf[slot, s] += jax.lax.dot_general(
+            a_t, dvox_buf[...],
+            dimension_numbers=(((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        ).reshape(wh, ww, C)
 
     for d in dii_wrs(slot, n, b, ry, rx):
         d.start()
@@ -430,8 +435,9 @@ def _bwd_kernel(starts_ref, ii_hbm, a_ref, kr_ref, g_ref, dii_in_hbm,
                                                       grid is sequential so
                                                       overlapping bands from
                                                       different tiles are safe)
-    dII arrives as a zeros-initialized aliased input, so untouched pixels
-    stay zero without an explicit clear pass.
+    dII arrives as an aliased fp32 accumulator (zeros for the scale's first
+    bucket, the running sum for later ones — see `_make_scale_op`), so
+    untouched pixels keep their prior value without an explicit clear pass.
     """
     n = pl.program_id(0)
     t = pl.program_id(1)
@@ -605,8 +611,8 @@ def _bucket_fwd_call(starts, ii, A_b, Kr, *, N, T, B, nl, tile_v, band, C,
     )(starts, ii, A_b, Kr)
 
 
-def _bucket_bwd_call(starts, ii, A_b, Kr, g, *, N, T, B, nl, tile_v, band, C,
-                     n_out, interpret, window=None):
+def _bucket_bwd_call(starts, ii, A_b, Kr, g, dii_init, *, N, T, B, nl, tile_v,
+                     band, C, n_out, interpret, window=None):
     if window is None:
         kernel = functools.partial(
             _bwd_kernel, nl=nl, tile_v=tile_v, band=band, C=C, n_out=n_out)
@@ -657,6 +663,7 @@ def _bucket_bwd_call(starts, ii, A_b, Kr, g, *, N, T, B, nl, tile_v, band, C,
                 pltpu.VMEM((a_slots, rows, band), A_b.dtype),  # A tiles
                 pltpu.VMEM((2, S, wh, ww, C), ii.dtype),    # feature windows
                 pltpu.VMEM((2, S, wh, ww, C), jnp.float32),  # dII windows
+                pltpu.VMEM((rows, C), jnp.float32),         # dvox staging
                 pltpu.SemaphoreType.DMA((a_slots,)),
                 pltpu.SemaphoreType.DMA((2, S)),
                 pltpu.SemaphoreType.DMA((2, S)),
@@ -713,7 +720,7 @@ def _bucket_bwd_call(starts, ii, A_b, Kr, g, *, N, T, B, nl, tile_v, band, C,
         ),
         scratch_shapes=scratches,
     )
-    dii_init = jnp.zeros(dii_shape, jnp.float32)
+    assert dii_init.shape == dii_shape and dii_init.dtype == jnp.float32
     dii, dkr = pl.pallas_call(
         kernel,
         grid_spec=grid_spec,
@@ -732,31 +739,52 @@ def _bucket_bwd_call(starts, ii, A_b, Kr, g, *, N, T, B, nl, tile_v, band, C,
     return dii, dkr
 
 
-def _make_bucket_op(*, N, T, B, nl, tile_v, band, C, n_out, interpret,
-                    window=None):
-    """custom-VJP'd per-bucket sampling op: (starts, ii, A, Kr) -> tiles.
+def _make_scale_op(*, N, B, nl, tile_v, C, n_out, interpret, buckets):
+    """custom-VJP'd per-SCALE sampling op:
+    (starts_all, ii, A_all, Kr) -> per-bucket tile tuple.
 
-    The bwd is the hand-written transposed-banded-matmul kernel above; A and
-    starts are rig structure (never trained), so their cotangents are a
-    DCE'd zeros and a float0."""
-    static = dict(N=N, T=T, B=B, nl=nl, tile_v=tile_v, band=band, C=C,
-                  n_out=n_out, interpret=interpret, window=window)
+    `buckets` is a static tuple of (T, band, window) per band bucket. The
+    bwd is the hand-written transposed-banded-matmul kernel above. One VJP
+    for the whole scale (rather than per bucket) so the fp32 dII
+    accumulator is a SINGLE image-sized buffer threaded through the bucket
+    kernels via their input/output aliasing — per-bucket VJPs each
+    zero-filled their own full-size dII (1.1 GB at MultiviewC scale 0) and
+    left XLA to sum all of them, which was pure HBM traffic. A and starts
+    are rig structure (never trained), so their cotangents are DCE'd zeros
+    and float0s."""
+    common = dict(N=N, B=B, nl=nl, tile_v=tile_v, C=C, n_out=n_out,
+                  interpret=interpret)
 
     @jax.custom_vjp
-    def op(starts, ii, A_b, Kr):
-        return _bucket_fwd_call(starts, ii, A_b, Kr, **static)
+    def op(starts_all, ii, A_all, Kr):
+        return tuple(
+            _bucket_fwd_call(s, ii, A_b, Kr, T=T, band=band, window=window,
+                             **common)
+            for s, A_b, (T, band, window) in zip(starts_all, A_all, buckets))
 
-    def fwd(starts, ii, A_b, Kr):
-        return op(starts, ii, A_b, Kr), (starts, ii, A_b, Kr)
+    def fwd(starts_all, ii, A_all, Kr):
+        return op(starts_all, ii, A_all, Kr), (starts_all, ii, A_all, Kr)
 
-    def bwd(res, g):
-        starts, ii, A_b, Kr = res
-        dii, dkr = _bucket_bwd_call(starts, ii, A_b, Kr, g, **static)
+    def bwd(res, gs):
+        starts_all, ii, A_all, Kr = res
+        if buckets[0][2] is None:
+            dii_shape = (N, B, ii.shape[2], C)
+        else:
+            dii_shape = (N, B, ii.shape[2], ii.shape[3], C)
+        dii = jnp.zeros(dii_shape, jnp.float32)
+        dkr = jnp.zeros((nl, C, n_out), jnp.float32)
+        for s, A_b, g, (T, band, window) in zip(starts_all, A_all, gs,
+                                                buckets):
+            dii, dkr_b = _bucket_bwd_call(
+                s, ii, A_b, Kr, g, dii, T=T, band=band, window=window,
+                **common)
+            dkr = dkr + dkr_b
         import numpy as np
 
-        return (np.zeros(starts.shape, dtype=jax.dtypes.float0),
+        return (tuple(np.zeros(s.shape, dtype=jax.dtypes.float0)
+                      for s in starts_all),
                 dii.astype(ii.dtype),
-                jnp.zeros_like(A_b),
+                tuple(jnp.zeros_like(a) for a in A_all),
                 dkr.astype(Kr.dtype))
 
     op.defvjp(fwd, bwd)
@@ -804,18 +832,19 @@ def rig_sample_scale_pallas(lat, rig: ScaleRig, collapse_kernel, collapse_bias,
     Kr = collapse_kernel.reshape(C, nl, n_out).transpose(1, 0, 2)
     Kr = Kr.astype(lat.dtype)
 
+    buckets = tuple(
+        (A_b.shape[1], A_b.shape[-1],
+         tuple(rig.window_hw[bi]) if rig.window_hw else None)
+        for bi, A_b in enumerate(rig.A))
+    starts_all = tuple(s_b.reshape(-1).astype(jnp.int32)
+                       for s_b in rig.starts)       # (N*T,) | (N*T*2,) each
+
+    op = _make_scale_op(N=N, B=B, nl=nl, tile_v=tile_v, C=C, n_out=n_out,
+                        interpret=interpret, buckets=buckets)
+    tiles_all = op(starts_all, ii, tuple(rig.A), Kr)
+
     outs = []
-    for bi, (A_b, s_b) in enumerate(zip(rig.A, rig.starts)):
-        band = A_b.shape[-1]
-        T = A_b.shape[1]
-        starts = s_b.reshape(-1).astype(jnp.int32)     # (N*T,) | (N*T*2,)
-        window = rig.window_hw[bi] if rig.window_hw else None
-
-        op = _make_bucket_op(N=N, T=T, B=B, nl=nl, tile_v=tile_v, band=band,
-                             C=C, n_out=n_out, interpret=interpret,
-                             window=window)
-        tiles = op(starts, ii, A_b, Kr)
-
+    for (T, _, _), tiles in zip(buckets, tiles_all):
         outs.append(jnp.transpose(tiles, (0, 2, 1, 3, 4))
                     .reshape(N, B, T * tile_v, n_out))
     out = jnp.concatenate(outs, axis=2) if len(outs) > 1 else outs[0]

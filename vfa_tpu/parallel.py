@@ -130,7 +130,7 @@ def camera_psum_bev(mesh: Mesh, lats, boxes, collapse_kernel, collapse_bias):
     relu(collapse(sample_voxels(lat, boxes))).
     """
     import jax.numpy as jnp
-    from jax.experimental.shard_map import shard_map
+    from jax import shard_map
     from jax.sharding import PartitionSpec
 
     from vfa_tpu.ops.voxel import sample_voxels
