@@ -187,8 +187,11 @@ def main():
         images = jnp.stack([s.images for s in scenes]).astype(dtype)
         calibs = jnp.stack([s.calibs for s in scenes])
         grid = jnp.asarray(scenes[0].grid)
+        from vfa_tpu.train_lib import init_grid
+
         variables = model.init(jax.random.PRNGKey(0),
-                               images[:1].astype(jnp.float32), calibs[:1], grid)
+                               images[:1].astype(jnp.float32), calibs[:1],
+                               init_grid(grid))
         if args.dtype == "bfloat16":
             variables = jax.tree_util.tree_map(
                 lambda x: x.astype(jnp.bfloat16)

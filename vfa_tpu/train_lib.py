@@ -158,6 +158,21 @@ def create_model(cfg: DatasetConfig, tcfg: TrainConfig,
                   backbone_chunks=backbone_chunks)
 
 
+def init_grid(grid):
+    """Decimate an oversized BEV grid for parameter init.
+
+    Param/batch-stat shapes are grid-size-independent (convs + the
+    Linear(C*nl -> C) collapse), and flax's rng folding keys off module
+    paths, not shapes — the initialized values are identical. Init runs the
+    dynamic gather path (`ops/voxel.py`) EAGERLY (flax init dispatches op by
+    op), whose integral-image gathers at the 2x-resolution stretch grid
+    (325x325, BASELINE config 5) exhaust HBM before jit ever sees the graph.
+    """
+    sy = -(-grid.shape[0] // 256)
+    sx = -(-grid.shape[1] // 256)
+    return grid[::sy, ::sx] if (sy > 1 or sx > 1) else grid
+
+
 def init_state(
     model: VFANet,
     cfg: DatasetConfig,
@@ -167,7 +182,8 @@ def init_state(
     sample_batch: Dict[str, jnp.ndarray],
 ) -> Tuple[TrainState, optax.GradientTransformation]:
     variables = model.init(
-        rng, sample_batch["images"], sample_batch["calibs"], sample_batch["grid"],
+        rng, sample_batch["images"], sample_batch["calibs"],
+        init_grid(sample_batch["grid"]),
         train=True,
     )
     tx = make_optimizer(tcfg, steps_per_epoch)
