@@ -925,9 +925,12 @@ def rig_sample_scale(lat, rig: ScaleRig, collapse_kernel, collapse_bias,
         outs.append(jnp.transpose(tiles, (1, 2, 0, 3, 4))
                     .reshape(N, B, T_b * tile_v, -1))
     out = jnp.concatenate(outs, axis=2) if len(outs) > 1 else outs[0]
-    out = jax.nn.relu(out + collapse_bias.astype(jnp.float32))
-    # un-permute rows back to BEV order: one small row gather per camera
+    # un-permute rows back to BEV order BEFORE the bias+relu (they commute:
+    # bias is per-channel, the permutation per-cell) so relu(x + bias) can
+    # fuse into the caller's camera-sum reduce instead of materializing a
+    # second full (N, B, V2d, n_out) fp32 temp
     out = jax.vmap(lambda o_n, p_n: jnp.take(o_n, p_n, axis=1))(
         out, rig.inv_perm
     )                                                   # (N, B, V2d, 256)
+    out = jax.nn.relu(out + collapse_bias.astype(jnp.float32))
     return jnp.swapaxes(out, 0, 1).astype(out_dtype)    # (B, N, V2d, 256)

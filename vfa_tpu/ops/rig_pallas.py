@@ -186,7 +186,7 @@ def _kernel_win(starts_ref, ii_hbm, a_hbm, kr_ref, out_ref,
                 dimension_numbers=(((1,), (0,)), ((), ())),
                 preferred_element_type=jnp.float32,
             )
-        out_ref[0, 0, 0, s] = acc
+        out_ref[0, 0, s, 0] = acc
 
 
 def _bwd_kernel_win_pipe(starts_ref, ii_hbm, a_hbm, kr_ref, g_ref, dii_in_hbm,
@@ -304,7 +304,7 @@ def _bwd_kernel_win_pipe(starts_ref, ii_hbm, a_hbm, kr_ref, g_ref, dii_in_hbm,
     # only tile_v x n_out
     a_t = a_buf[a_sl]                                    # (rows, wh*ww)
     for s in range(S):
-        g = g_ref[0, 0, 0, s]                            # (tile_v, n_out)
+        g = g_ref[0, 0, s, 0]                            # (tile_v, n_out)
         window = band_buf[slot, s].reshape(wh * ww, C)
         vox = jax.lax.dot_general(
             a_t, window,
@@ -559,6 +559,11 @@ def _bucket_fwd_call(starts, ii, A_b, Kr, *, N, T, B, nl, tile_v, band, C,
             pltpu.SemaphoreType.DMA((a_slots,)),
             pltpu.SemaphoreType.DMA((2, S)),
         ]
+        # tiles are written DIRECTLY in scene-major (N, B, T, tile_v, n_out)
+        # order via the index_map (block b lands at array slot (n, b, ·, t)):
+        # the old (N, T, B, ...) layout needed a full jnp.transpose copy of
+        # every bucket's tiles (a 2.8 GB HBM round trip per scale at
+        # MultiviewC batch 16) before the bucket concat
         grid_spec = pltpu.PrefetchScalarGridSpec(
             num_scalar_prefetch=1,
             grid=(N, T, B // S),
@@ -568,15 +573,15 @@ def _bucket_fwd_call(starts, ii, A_b, Kr, *, N, T, B, nl, tile_v, band, C,
                 pl.BlockSpec(memory_space=pltpu.VMEM),      # Kr
             ],
             out_specs=pl.BlockSpec(
-                (1, 1, 1, S, tile_v, n_out),
-                lambda n, t, b, *_: (n, t, b, 0, 0, 0),
+                (1, 1, S, 1, tile_v, n_out),
+                lambda n, t, b, *_: (n, b, 0, t, 0, 0),
                 memory_space=pltpu.VMEM),
             scratch_shapes=scratches,
         )
         tiles = pl.pallas_call(
             kernel,
             grid_spec=grid_spec,
-            out_shape=jax.ShapeDtypeStruct((N, T, B // S, S, tile_v, n_out),
+            out_shape=jax.ShapeDtypeStruct((N, B // S, S, T, tile_v, n_out),
                                            jnp.float32),
             interpret=interpret,
             # all-arbitrary: the window kernel pipelines DMA state across
@@ -586,7 +591,7 @@ def _bucket_fwd_call(starts, ii, A_b, Kr, *, N, T, B, nl, tile_v, band, C,
                 dimension_semantics=("arbitrary",) * 3,
             ),
         )(starts, ii, A_b, Kr)
-        return tiles.reshape(N, T, B, tile_v, n_out)
+        return tiles.reshape(N, B, T, tile_v, n_out)
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
         grid=(N, T, B),
@@ -596,14 +601,14 @@ def _bucket_fwd_call(starts, ii, A_b, Kr, *, N, T, B, nl, tile_v, band, C,
             pl.BlockSpec(memory_space=pltpu.VMEM),          # Kr
         ],
         out_specs=pl.BlockSpec(
-            (1, 1, 1, tile_v, n_out), lambda n, t, b, *_: (n, t, b, 0, 0),
+            (1, 1, 1, tile_v, n_out), lambda n, t, b, *_: (n, b, t, 0, 0),
             memory_space=pltpu.VMEM),
         scratch_shapes=scratches,
     )
     return pl.pallas_call(
         kernel,
         grid_spec=grid_spec,
-        out_shape=jax.ShapeDtypeStruct((N, T, B, tile_v, n_out), jnp.float32),
+        out_shape=jax.ShapeDtypeStruct((N, B, T, tile_v, n_out), jnp.float32),
         interpret=interpret,
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("parallel", "arbitrary", "arbitrary"),
@@ -689,19 +694,20 @@ def _bucket_bwd_call(starts, ii, A_b, Kr, g, dii_init, *, N, T, B, nl, tile_v,
                 pltpu.SemaphoreType.DMA(()),
                 pltpu.SemaphoreType.DMA(()),
             ]
-    # the packed pipelined kernel takes a 6-d scene-grouped g and a B//S
-    # grid; the serial window / flat kernels keep the legacy 5-d layout
+    # g arrives in the forward's scene-major (N, B, T, tile_v, n_out)
+    # layout; the packed pipelined kernel views it scene-grouped as
+    # (N, B//S, S, T, ...) over a B//S grid — both are layout-free reshapes
     S_pack = getattr(kernel, "keywords", {}).get("S")
     if S_pack:
-        g = g.reshape(N, T, B // S_pack, S_pack, tile_v, n_out)
+        g = g.reshape(N, B // S_pack, S_pack, T, tile_v, n_out)
         grid_b = B // S_pack
-        g_spec = pl.BlockSpec((1, 1, 1, S_pack, tile_v, n_out),
-                              lambda n, t, b, *_: (n, t, b, 0, 0, 0),
+        g_spec = pl.BlockSpec((1, 1, S_pack, 1, tile_v, n_out),
+                              lambda n, t, b, *_: (n, b, 0, t, 0, 0),
                               memory_space=pltpu.VMEM)
     else:
         grid_b = B
         g_spec = pl.BlockSpec((1, 1, 1, tile_v, n_out),
-                              lambda n, t, b, *_: (n, t, b, 0, 0),
+                              lambda n, t, b, *_: (n, b, t, 0, 0),
                               memory_space=pltpu.VMEM)
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
@@ -843,13 +849,18 @@ def rig_sample_scale_pallas(lat, rig: ScaleRig, collapse_kernel, collapse_bias,
                         interpret=interpret, buckets=buckets)
     tiles_all = op(starts_all, ii, tuple(rig.A), Kr)
 
-    outs = []
-    for (T, _, _), tiles in zip(buckets, tiles_all):
-        outs.append(jnp.transpose(tiles, (0, 2, 1, 3, 4))
-                    .reshape(N, B, T * tile_v, n_out))
+    # tiles come out of the kernels already scene-major (see
+    # _bucket_fwd_call), so the per-bucket reshape is layout-free. The
+    # inv_perm gather runs BEFORE the bias+relu: they commute (bias is
+    # per-channel, the permutation per-cell), and this order lets XLA fuse
+    # relu(x + bias) into the caller's camera-sum reduce instead of
+    # materializing a second full (N, B, V2d, n_out) fp32 temp (5.6 GB at
+    # the grid2x stretch config — the allocation that capped its batch).
+    outs = [tiles.reshape(N, B, T * tile_v, n_out)
+            for (T, _, _), tiles in zip(buckets, tiles_all)]
     out = jnp.concatenate(outs, axis=2) if len(outs) > 1 else outs[0]
-    out = jax.nn.relu(out + collapse_bias.astype(jnp.float32))
     out = jax.vmap(lambda o_n, p_n: jnp.take(o_n, p_n, axis=1))(
         out, rig.inv_perm
     )                                                   # (N, B, V2d, n_out)
+    out = jax.nn.relu(out + collapse_bias.astype(jnp.float32))
     return jnp.swapaxes(out, 0, 1).astype(out_dtype)
