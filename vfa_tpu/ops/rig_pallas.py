@@ -28,8 +28,9 @@ from jax.experimental.pallas import tpu as pltpu
 from vfa_tpu.ops.rig import ScaleRig
 
 
-def _kernel(starts_ref, ii_hbm, a_ref, kr_ref, out_ref,
+def _kernel(starts_ref, ii_hbm, a_ref, kr_ref, buf_ref, out_ref,
             band_buf, sem, *, nl, tile_v, band, C, n_out):
+    del buf_ref  # aliased onto out_ref: carries the other buckets' tiles
     n = pl.program_id(0)
     t = pl.program_id(1)
     b = pl.program_id(2)
@@ -85,9 +86,10 @@ def _next_step(n, t, b, T, B):
     return n2, t2, b2, wrapb
 
 
-def _kernel_win(starts_ref, ii_hbm, a_hbm, kr_ref, out_ref,
+def _kernel_win(starts_ref, ii_hbm, a_hbm, kr_ref, buf_ref, out_ref,
                 a_buf, band_buf, sem_a, sem, *, nl, tile_v, wh, ww, C, n_out,
                 a_slots=2, S=1):
+    del buf_ref  # aliased onto out_ref: carries the other buckets' tiles
     """Window-layout forward: DMA a compact 2D (wh, ww) feature window and
     flatten it into the matmul's contraction axis. The (wh, ww, C) ->
     (wh*ww, C) reshape is layout-free because ww is 16-aligned (sublane
@@ -186,7 +188,7 @@ def _kernel_win(starts_ref, ii_hbm, a_hbm, kr_ref, out_ref,
                 dimension_numbers=(((1,), (0,)), ((), ())),
                 preferred_element_type=jnp.float32,
             )
-        out_ref[0, 0, s, 0] = acc
+        out_ref[0, s, 0] = acc
 
 
 def _bwd_kernel_win_pipe(starts_ref, ii_hbm, a_hbm, kr_ref, g_ref, dii_in_hbm,
@@ -304,7 +306,7 @@ def _bwd_kernel_win_pipe(starts_ref, ii_hbm, a_hbm, kr_ref, g_ref, dii_in_hbm,
     # only tile_v x n_out
     a_t = a_buf[a_sl]                                    # (rows, wh*ww)
     for s in range(S):
-        g = g_ref[0, 0, s, 0]                            # (tile_v, n_out)
+        g = g_ref[0, s, 0]                               # (tile_v, n_out)
         window = band_buf[slot, s].reshape(wh * ww, C)
         vox = jax.lax.dot_general(
             a_t, window,
@@ -514,11 +516,37 @@ def _check_window_vmem(kind, need_bytes, *, band, a_dtype, f_dtype):
             "flat/XLA layout.")
 
 
-def _bucket_fwd_call(starts, ii, A_b, Kr, *, N, T, B, nl, tile_v, band, C,
-                     n_out, interpret, window=None):
+def _bucket_fwd_call(starts, ii, A_b, Kr, buf, *, N, T, B, nl, tile_v, band,
+                     C, n_out, off_t, buf_shape, interpret, window=None):
+    """Write this bucket's (N, B, T, tile_v, n_out) tiles into `buf` — the
+    scale's full `buf_shape` = (N, B, T_total, tile_v, n_out) fp32 tiles
+    buffer — at tile offset `off_t`, in place via input/output aliasing (the
+    same pattern the backward uses for its dII accumulator). Bucket outputs
+    land pre-concatenated, so the epilogue's full-size bucket concat copy (a
+    5.6 GB HBM temp at the grid2x stretch config) disappears.
+
+    `buf is None` means this is the FIRST bucket: it allocates the full
+    buffer itself (un-aliased, uninitialized outside its own tile range —
+    later buckets fill the rest). A zeros-init + alias would cost a full
+    extra HBM write sweep of the buffer (~1.4 GB/scale at MultiviewC
+    batch 16, measured -4.6% inference throughput)."""
+    out_shape = jax.ShapeDtypeStruct(buf_shape, jnp.float32)
+    if buf is None:
+        buf_in_specs, aliases, buf_args = [], {}, ()
+    else:
+        buf_in_specs = [pl.BlockSpec(memory_space=pl.ANY)]  # buf (aliased)
+        # input index 4 counting the scalar prefetch arg
+        aliases, buf_args = {4: 0}, (buf,)
+
+    def _with_buf(inner):
+        if buf is None:
+            return lambda s_, i_, a_, k_, o_, *sc: inner(s_, i_, a_, k_,
+                                                         None, o_, *sc)
+        return inner
+
     if window is None:
-        kernel = functools.partial(
-            _kernel, nl=nl, tile_v=tile_v, band=band, C=C, n_out=n_out)
+        kernel = _with_buf(functools.partial(
+            _kernel, nl=nl, tile_v=tile_v, band=band, C=C, n_out=n_out))
         a_spec = pl.BlockSpec((1, 1, nl * tile_v, band),
                               lambda n, t, b, *_: (n, t, 0, 0),
                               memory_space=pltpu.VMEM)
@@ -549,9 +577,9 @@ def _bucket_fwd_call(starts, ii, A_b, Kr, *, N, T, B, nl, tile_v, band, C,
                                   * ii.dtype.itemsize) <= budget:
                 S = cand
                 break
-        kernel = functools.partial(
+        kernel = _with_buf(functools.partial(
             _kernel_win, nl=nl, tile_v=tile_v, wh=wh, ww=ww, C=C, n_out=n_out,
-            a_slots=a_slots, S=S)
+            a_slots=a_slots, S=S))
         a_spec = pl.BlockSpec(memory_space=pl.ANY)
         scratches = [
             pltpu.VMEM((a_slots, nl * tile_v, band), A_b.dtype),
@@ -559,11 +587,11 @@ def _bucket_fwd_call(starts, ii, A_b, Kr, *, N, T, B, nl, tile_v, band, C,
             pltpu.SemaphoreType.DMA((a_slots,)),
             pltpu.SemaphoreType.DMA((2, S)),
         ]
-        # tiles are written DIRECTLY in scene-major (N, B, T, tile_v, n_out)
-        # order via the index_map (block b lands at array slot (n, b, ·, t)):
-        # the old (N, T, B, ...) layout needed a full jnp.transpose copy of
-        # every bucket's tiles (a 2.8 GB HBM round trip per scale at
-        # MultiviewC batch 16) before the bucket concat
+        # tiles are written DIRECTLY in scene-major (N, B, off_t + t, ...)
+        # position in the shared buffer via the index_map: the old
+        # (N, T, B, ...) layout needed a full jnp.transpose copy of every
+        # bucket's tiles (a 2.8 GB HBM round trip per scale at MultiviewC
+        # batch 16) before a full-size bucket concat copy
         grid_spec = pltpu.PrefetchScalarGridSpec(
             num_scalar_prefetch=1,
             grid=(N, T, B // S),
@@ -571,18 +599,21 @@ def _bucket_fwd_call(starts, ii, A_b, Kr, *, N, T, B, nl, tile_v, band, C,
                 pl.BlockSpec(memory_space=pl.ANY),          # ii (HBM)
                 a_spec,                                     # A tile
                 pl.BlockSpec(memory_space=pltpu.VMEM),      # Kr
-            ],
+            ] + buf_in_specs,
             out_specs=pl.BlockSpec(
-                (1, 1, S, 1, tile_v, n_out),
-                lambda n, t, b, *_: (n, b, 0, t, 0, 0),
+                (1, S, 1, tile_v, n_out),
+                lambda n, t, b, *_: (n, b, off_t + t, 0, 0),
                 memory_space=pltpu.VMEM),
             scratch_shapes=scratches,
         )
-        tiles = pl.pallas_call(
+        return pl.pallas_call(
             kernel,
             grid_spec=grid_spec,
-            out_shape=jax.ShapeDtypeStruct((N, B // S, S, T, tile_v, n_out),
-                                           jnp.float32),
+            out_shape=out_shape,
+            # alias the running tiles buffer onto the output: this bucket
+            # writes only its own tile range, earlier buckets' tiles ride
+            # through
+            input_output_aliases=aliases,
             interpret=interpret,
             # all-arbitrary: the window kernel pipelines DMA state across
             # EVERY grid dimension (lexicographic step order is
@@ -590,8 +621,7 @@ def _bucket_fwd_call(starts, ii, A_b, Kr, *, N, T, B, nl, tile_v, band, C,
             compiler_params=pltpu.CompilerParams(
                 dimension_semantics=("arbitrary",) * 3,
             ),
-        )(starts, ii, A_b, Kr)
-        return tiles.reshape(N, B, T, tile_v, n_out)
+        )(starts, ii, A_b, Kr, *buf_args)
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
         grid=(N, T, B),
@@ -599,25 +629,27 @@ def _bucket_fwd_call(starts, ii, A_b, Kr, *, N, T, B, nl, tile_v, band, C,
             pl.BlockSpec(memory_space=pl.ANY),              # ii (HBM)
             a_spec,                                         # A tile
             pl.BlockSpec(memory_space=pltpu.VMEM),          # Kr
-        ],
+        ] + buf_in_specs,
         out_specs=pl.BlockSpec(
-            (1, 1, 1, tile_v, n_out), lambda n, t, b, *_: (n, b, t, 0, 0),
+            (1, 1, 1, tile_v, n_out),
+            lambda n, t, b, *_: (n, b, off_t + t, 0, 0),
             memory_space=pltpu.VMEM),
         scratch_shapes=scratches,
     )
     return pl.pallas_call(
         kernel,
         grid_spec=grid_spec,
-        out_shape=jax.ShapeDtypeStruct((N, B, T, tile_v, n_out), jnp.float32),
+        out_shape=out_shape,
+        input_output_aliases=aliases,
         interpret=interpret,
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("parallel", "arbitrary", "arbitrary"),
         ),
-    )(starts, ii, A_b, Kr)
+    )(starts, ii, A_b, Kr, *buf_args)
 
 
 def _bucket_bwd_call(starts, ii, A_b, Kr, g, dii_init, *, N, T, B, nl, tile_v,
-                     band, C, n_out, interpret, window=None):
+                     band, C, n_out, off_t, interpret, window=None):
     if window is None:
         kernel = functools.partial(
             _bwd_kernel, nl=nl, tile_v=tile_v, band=band, C=C, n_out=n_out)
@@ -694,20 +726,19 @@ def _bucket_bwd_call(starts, ii, A_b, Kr, g, dii_init, *, N, T, B, nl, tile_v,
                 pltpu.SemaphoreType.DMA(()),
                 pltpu.SemaphoreType.DMA(()),
             ]
-    # g arrives in the forward's scene-major (N, B, T, tile_v, n_out)
-    # layout; the packed pipelined kernel views it scene-grouped as
-    # (N, B//S, S, T, ...) over a B//S grid — both are layout-free reshapes
+    # g is the whole scale's (N, B, T_total, tile_v, n_out) cotangent in the
+    # forward's scene-major layout; this bucket reads its tile range via the
+    # off_t block offset (S-packed kernels take S scenes per block)
     S_pack = getattr(kernel, "keywords", {}).get("S")
     if S_pack:
-        g = g.reshape(N, B // S_pack, S_pack, T, tile_v, n_out)
         grid_b = B // S_pack
-        g_spec = pl.BlockSpec((1, 1, S_pack, 1, tile_v, n_out),
-                              lambda n, t, b, *_: (n, b, 0, t, 0, 0),
+        g_spec = pl.BlockSpec((1, S_pack, 1, tile_v, n_out),
+                              lambda n, t, b, *_: (n, b, off_t + t, 0, 0),
                               memory_space=pltpu.VMEM)
     else:
         grid_b = B
         g_spec = pl.BlockSpec((1, 1, 1, tile_v, n_out),
-                              lambda n, t, b, *_: (n, b, t, 0, 0),
+                              lambda n, t, b, *_: (n, b, off_t + t, 0, 0),
                               memory_space=pltpu.VMEM)
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
@@ -747,7 +778,8 @@ def _bucket_bwd_call(starts, ii, A_b, Kr, g, dii_init, *, N, T, B, nl, tile_v,
 
 def _make_scale_op(*, N, B, nl, tile_v, C, n_out, interpret, buckets):
     """custom-VJP'd per-SCALE sampling op:
-    (starts_all, ii, A_all, Kr) -> per-bucket tile tuple.
+    (starts_all, ii, A_all, Kr) -> ONE (N, B, T_total, tile_v, n_out) fp32
+    tiles buffer, all buckets pre-concatenated.
 
     `buckets` is a static tuple of (T, band, window) per band bucket. The
     bwd is the hand-written transposed-banded-matmul kernel above. One VJP
@@ -755,23 +787,36 @@ def _make_scale_op(*, N, B, nl, tile_v, C, n_out, interpret, buckets):
     accumulator is a SINGLE image-sized buffer threaded through the bucket
     kernels via their input/output aliasing — per-bucket VJPs each
     zero-filled their own full-size dII (1.1 GB at MultiviewC scale 0) and
-    left XLA to sum all of them, which was pure HBM traffic. A and starts
+    left XLA to sum all of them, which was pure HBM traffic. The forward
+    threads its tiles buffer the same way (each bucket writes its own tile
+    range in place), so no bucket-concat copy exists either. A and starts
     are rig structure (never trained), so their cotangents are DCE'd zeros
     and float0s."""
     common = dict(N=N, B=B, nl=nl, tile_v=tile_v, C=C, n_out=n_out,
                   interpret=interpret)
+    T_total = sum(T for T, _, _ in buckets)
+    offs = []
+    off = 0
+    for T, _, _ in buckets:
+        offs.append(off)
+        off += T
+
+    buf_shape = (N, B, T_total, tile_v, n_out)
 
     @jax.custom_vjp
     def op(starts_all, ii, A_all, Kr):
-        return tuple(
-            _bucket_fwd_call(s, ii, A_b, Kr, T=T, band=band, window=window,
-                             **common)
-            for s, A_b, (T, band, window) in zip(starts_all, A_all, buckets))
+        buf = None  # bucket 0 allocates the full buffer (no zeros sweep)
+        for s, A_b, off_t, (T, band, window) in zip(starts_all, A_all, offs,
+                                                    buckets):
+            buf = _bucket_fwd_call(s, ii, A_b, Kr, buf, T=T, band=band,
+                                   window=window, off_t=off_t,
+                                   buf_shape=buf_shape, **common)
+        return buf
 
     def fwd(starts_all, ii, A_all, Kr):
         return op(starts_all, ii, A_all, Kr), (starts_all, ii, A_all, Kr)
 
-    def bwd(res, gs):
+    def bwd(res, g):
         starts_all, ii, A_all, Kr = res
         if buckets[0][2] is None:
             dii_shape = (N, B, ii.shape[2], C)
@@ -779,11 +824,11 @@ def _make_scale_op(*, N, B, nl, tile_v, C, n_out, interpret, buckets):
             dii_shape = (N, B, ii.shape[2], ii.shape[3], C)
         dii = jnp.zeros(dii_shape, jnp.float32)
         dkr = jnp.zeros((nl, C, n_out), jnp.float32)
-        for s, A_b, g, (T, band, window) in zip(starts_all, A_all, gs,
-                                                buckets):
+        for s, A_b, off_t, (T, band, window) in zip(starts_all, A_all, offs,
+                                                    buckets):
             dii, dkr_b = _bucket_bwd_call(
                 s, ii, A_b, Kr, g, dii, T=T, band=band, window=window,
-                **common)
+                off_t=off_t, **common)
             dkr = dkr + dkr_b
         import numpy as np
 
@@ -847,18 +892,17 @@ def rig_sample_scale_pallas(lat, rig: ScaleRig, collapse_kernel, collapse_bias,
 
     op = _make_scale_op(N=N, B=B, nl=nl, tile_v=tile_v, C=C, n_out=n_out,
                         interpret=interpret, buckets=buckets)
-    tiles_all = op(starts_all, ii, tuple(rig.A), Kr)
+    tiles = op(starts_all, ii, tuple(rig.A), Kr)  # (N, B, T_tot, tv, n_out)
 
-    # tiles come out of the kernels already scene-major (see
-    # _bucket_fwd_call), so the per-bucket reshape is layout-free. The
+    # tiles come out of the kernels already scene-major AND bucket-
+    # concatenated (each bucket writes its tile range of the shared buffer
+    # in place — see _bucket_fwd_call), so this reshape is layout-free. The
     # inv_perm gather runs BEFORE the bias+relu: they commute (bias is
     # per-channel, the permutation per-cell), and this order lets XLA fuse
     # relu(x + bias) into the caller's camera-sum reduce instead of
     # materializing a second full (N, B, V2d, n_out) fp32 temp (5.6 GB at
     # the grid2x stretch config — the allocation that capped its batch).
-    outs = [tiles.reshape(N, B, T * tile_v, n_out)
-            for (T, _, _), tiles in zip(buckets, tiles_all)]
-    out = jnp.concatenate(outs, axis=2) if len(outs) > 1 else outs[0]
+    out = tiles.reshape(N, B, tiles.shape[2] * tile_v, n_out)
     out = jax.vmap(lambda o_n, p_n: jnp.take(o_n, p_n, axis=1))(
         out, rig.inv_perm
     )                                                   # (N, B, V2d, n_out)
