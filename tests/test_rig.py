@@ -241,3 +241,57 @@ def test_pallas_rig_vjp_matches_xla_interpret(B, buckets, layout, rng):
                                rtol=1e-4, atol=1e-4)
     np.testing.assert_allclose(np.asarray(gp_k), np.asarray(gx_k),
                                rtol=1e-4, atol=1e-4)
+
+
+def test_pallas_rig_bf16_buffers_close_to_fp32():
+    """bf16 features flow through bf16 HBM buffers (tiles out, cotangent,
+    dII accumulator — each MXU accumulation still fp32 in VMEM, rounding
+    only on the HBM store). The fwd and both grads must stay within bf16
+    rounding of the fp32 path: the cross-window dII accumulation adds only
+    a few same-magnitude terms per pixel, so the error budget is a couple
+    of bf16 ulps, not a precision cliff.
+
+    Own fixed generator (not the session rng fixture): the bound sits a
+    small factor above the observed error, so the inputs must not depend
+    on which tests ran before this one."""
+    rng = np.random.default_rng(20260818)
+    from vfa_tpu.ops.rig import pyramid_feat_shapes
+    from vfa_tpu.ops.rig_pallas import rig_sample_scale_pallas
+
+    tc = tiny_config(mc_opts)
+    grid = make_grid(tc.world_size, tc.cube_size[:2], tc.name)
+    calibs = make_calibrations(tc, 2)
+    shapes = pyramid_feat_shapes(tc.resize_size)
+    rig = build_rig(calibs, tc, grid, shapes[:1], tile_v=16,
+                    dtype=jnp.float32, band_buckets=2, layout="window")
+    sr = rig.scales[0]
+    B, N, C = 4, 2, 8
+    fh, fw = shapes[0]
+    lat = jnp.asarray(rng.normal(size=(B, N, fh, fw, C)).astype(np.float32))
+    k = jnp.asarray(rng.normal(size=(C * sr.nl, 12)).astype(np.float32))
+    b = jnp.asarray(rng.normal(size=(12,)).astype(np.float32))
+    w = jnp.asarray(rng.normal(size=(B, N, sr.inv_perm.shape[1], 12))
+                    .astype(np.float32))
+
+    def loss(lat, k, dtype):
+        o = rig_sample_scale_pallas(lat.astype(dtype), sr, k.astype(dtype),
+                                    b.astype(dtype), out_dtype=jnp.float32,
+                                    interpret=True)
+        return jnp.sum(o * w), o
+
+    (_, o32), (g32_lat, g32_k) = jax.value_and_grad(
+        loss, argnums=(0, 1), has_aux=True)(lat, k, jnp.float32)
+    (_, o16), (g16_lat, g16_k) = jax.value_and_grad(
+        loss, argnums=(0, 1), has_aux=True)(lat, k, jnp.bfloat16)
+
+    scale_o = float(jnp.max(jnp.abs(o32)))
+    np.testing.assert_allclose(np.asarray(o16), np.asarray(o32),
+                               atol=0.03 * scale_o)
+    for g16, g32 in ((g16_lat, g32_lat), (g16_k, g32_k)):
+        a = np.asarray(g16, np.float32)
+        b_ = np.asarray(g32, np.float32)
+        # relative L2 is the meaningful metric for accumulated rounding;
+        # individual elements can see cancellation noise of a few bf16 ulps
+        rel_l2 = np.linalg.norm(a - b_) / np.linalg.norm(b_)
+        assert rel_l2 < 0.03, rel_l2  # observed 0.0075 at this seed
+        np.testing.assert_allclose(a, b_, atol=0.1 * np.abs(b_).max())

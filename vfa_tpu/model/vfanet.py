@@ -226,7 +226,12 @@ class VFANet(nn.Module):
             Rematerialized: the sampling gathers produce ~2 GB of residuals
             per camera at full MultiviewC scale; recomputing them in the
             backward pass keeps training within one chip's HBM."""
-            out = jnp.zeros((L, W, 256), dtype=lat8.dtype)
+            # fp32 accumulator: the collapse dot already accumulates fp32
+            # (preferred_element_type), so the scale/camera sums stay fp32
+            # and bev_features casts back to the feature dtype ONCE at the
+            # end — a bf16 carry here would mismatch the fp32 body output
+            # under lax.scan (bf16 training exposed this).
+            out = jnp.zeros((L, W, 256), jnp.float32)
             for lat_hwc, (_, k, b) in zip(lat_hwc_tuple, scales):
                 vox = sample_voxels(
                     jnp.transpose(lat_hwc, (2, 0, 1)), boxes_c
@@ -239,6 +244,7 @@ class VFANet(nn.Module):
         if self.camera_reduce == "vmap":
             per_cam = jax.vmap(one_camera)((lat8, lat16, lat32), boxes)
             ortho = jnp.sum(per_cam.reshape(B, N, L, W, 256), axis=1)
+            ortho = ortho.astype(lat8.dtype)
         else:
             # scan over cameras, accumulating per scene: constant memory in N
             lat8_c = lat8.reshape(B, N, *lat8.shape[1:]).swapaxes(0, 1)
@@ -253,9 +259,10 @@ class VFANet(nn.Module):
 
             ortho, _ = jax.lax.scan(
                 body,
-                jnp.zeros((B, L, W, 256), dtype=lat8.dtype),
+                jnp.zeros((B, L, W, 256), jnp.float32),
                 (lat8_c, lat16_c, lat32_c, boxes_c),
             )
+            ortho = ortho.astype(lat8.dtype)
         return ortho
 
     def __call__(

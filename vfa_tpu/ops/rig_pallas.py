@@ -69,7 +69,7 @@ def _kernel(starts_ref, ii_hbm, a_ref, kr_ref, buf_ref, out_ref,
             dimension_numbers=(((1,), (0,)), ((), ())),
             preferred_element_type=jnp.float32,
         )
-    out_ref[0, 0, 0] = acc
+    out_ref[0, 0, 0] = acc.astype(out_ref.dtype)
 
 
 def _next_step(n, t, b, T, B):
@@ -188,7 +188,7 @@ def _kernel_win(starts_ref, ii_hbm, a_hbm, kr_ref, buf_ref, out_ref,
                 dimension_numbers=(((1,), (0,)), ((), ())),
                 preferred_element_type=jnp.float32,
             )
-        out_ref[0, s, 0] = acc
+        out_ref[0, s, 0] = acc.astype(out_ref.dtype)
 
 
 def _bwd_kernel_win_pipe(starts_ref, ii_hbm, a_hbm, kr_ref, g_ref, dii_in_hbm,
@@ -324,11 +324,16 @@ def _bwd_kernel_win_pipe(starts_ref, ii_hbm, a_hbm, kr_ref, g_ref, dii_in_hbm,
                 dimension_numbers=(((1,), (1,)), ((), ())),
                 preferred_element_type=jnp.float32,
             )                                            # (tile_v, C)
-        dband_buf[slot, s] += jax.lax.dot_general(
-            a_t, dvox_buf[...],
-            dimension_numbers=(((0,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32,
-        ).reshape(wh, ww, C)
+        # the running dII window may be bf16 (bf16 training halves the RMW
+        # traffic); the add itself runs in fp32 and rounds once on store
+        dband_buf[slot, s] = (
+            dband_buf[slot, s].astype(jnp.float32)
+            + jax.lax.dot_general(
+                a_t, dvox_buf[...],
+                dimension_numbers=(((0,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            ).reshape(wh, ww, C)
+        ).astype(dband_buf.dtype)
 
     for d in dii_wrs(slot, n, b, ry, rx):
         d.start()
@@ -409,12 +414,16 @@ def _bwd_kernel_win(starts_ref, ii_hbm, a_hbm, kr_ref, g_ref, dii_in_hbm,
             preferred_element_type=jnp.float32,
         )                                                # (tile_v, C)
         # accumulate straight into the DMA scratch: a separate (wh*ww, C)
-        # fp32 accumulator plus an fp32 copy of a_l blew the VMEM stack
-        dband_buf[...] += jax.lax.dot_general(
-            a_l, dv_l,
-            dimension_numbers=(((0,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32,
-        ).reshape(wh, ww, C)
+        # fp32 accumulator plus an fp32 copy of a_l blew the VMEM stack.
+        # The scratch may be bf16 (bf16 training); add in fp32, round once.
+        dband_buf[...] = (
+            dband_buf[...].astype(jnp.float32)
+            + jax.lax.dot_general(
+                a_l, dv_l,
+                dimension_numbers=(((0,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            ).reshape(wh, ww, C)
+        ).astype(dband_buf.dtype)
 
     wr = pltpu.make_async_copy(
         dband_buf, dii_hbm.at[n, b, pl.ds(ry, wh), pl.ds(rx, ww), :], dsem)
@@ -489,7 +498,8 @@ def _bwd_kernel(starts_ref, ii_hbm, a_ref, kr_ref, g_ref, dii_in_hbm,
         )                                                # (band, C)
 
     rd.wait()
-    dband_buf[...] += dband
+    dband_buf[...] = (dband_buf[...].astype(jnp.float32)
+                      + dband).astype(dband_buf.dtype)
     wr = pltpu.make_async_copy(
         dband_buf, dii_hbm.at[n, b, pl.ds(start, band), :], dsem)
     wr.start()
@@ -529,8 +539,14 @@ def _bucket_fwd_call(starts, ii, A_b, Kr, buf, *, N, T, B, nl, tile_v, band,
     buffer itself (un-aliased, uninitialized outside its own tile range —
     later buckets fill the rest). A zeros-init + alias would cost a full
     extra HBM write sweep of the buffer (~1.4 GB/scale at MultiviewC
-    batch 16, measured -4.6% inference throughput)."""
-    out_shape = jax.ShapeDtypeStruct(buf_shape, jnp.float32)
+    batch 16, measured -4.6% inference throughput).
+
+    The buffer dtype matches the FEATURE dtype (the MXU accumulation stays
+    fp32 in VMEM; only the HBM store rounds): fp32 features keep the exact
+    fp32 tiles the parity tests pin, bf16 halves the dominant HBM temps —
+    the tiles write + the inv_perm gather copy were the two 5.6 GB fp32
+    allocations that capped the grid2x batch."""
+    out_shape = jax.ShapeDtypeStruct(buf_shape, ii.dtype)
     if buf is None:
         buf_in_specs, aliases, buf_args = [], {}, ()
     else:
@@ -650,6 +666,9 @@ def _bucket_fwd_call(starts, ii, A_b, Kr, buf, *, N, T, B, nl, tile_v, band,
 
 def _bucket_bwd_call(starts, ii, A_b, Kr, g, dii_init, *, N, T, B, nl, tile_v,
                      band, C, n_out, off_t, interpret, window=None):
+    # the dII accumulator matches the feature dtype (see _make_scale_op);
+    # all scratch sizing below must use its itemsize, never assume fp32
+    acc_it = dii_init.dtype.itemsize
     if window is None:
         kernel = functools.partial(
             _bwd_kernel, nl=nl, tile_v=tile_v, band=band, C=C, n_out=n_out)
@@ -659,7 +678,7 @@ def _bucket_bwd_call(starts, ii, A_b, Kr, g, dii_init, *, N, T, B, nl, tile_v,
                               memory_space=pltpu.VMEM)
         scratches = [
             pltpu.VMEM((band, C), ii.dtype),                # feature band
-            pltpu.VMEM((band, C), jnp.float32),             # dII band
+            pltpu.VMEM((band, C), dii_init.dtype),          # dII band
             pltpu.SemaphoreType.DMA(()),
             pltpu.SemaphoreType.DMA(()),
         ]
@@ -671,12 +690,12 @@ def _bucket_bwd_call(starts, ii, A_b, Kr, g, dii_init, *, N, T, B, nl, tile_v,
         # static pipeline choice: the pipelined kernel needs B >= 2 (scene
         # disjointness is what makes overlapping the dII RMW safe) and
         # double-buffered windows in VMEM; A gets 2 slots when they fit
-        # per band element: a_slots*rows*2 (A bf16) + 2*C*2 (band windows)
-        # + 2*C*4 (dII windows) + C*4 (dband dot output)
-        # dtype-aware: fp32 feature windows (parity eval/training) double
-        # the band scratch vs bf16
+        # per band element: a_slots*rows (A) + 2*C (band windows)
+        # + 2*C (dII windows) + C*4 (dband fp32 dot output)
+        # dtype-aware: fp32 feature windows (parity eval/default training)
+        # double both the band and dII scratch vs bf16
         budget = int(9.5e6)
-        per = 2 * C * ii.dtype.itemsize + 2 * C * 4 + C * 4
+        per = 2 * C * ii.dtype.itemsize + 2 * C * acc_it + C * 4
         fits2 = band * (2 * rows * A_b.dtype.itemsize + per) <= budget
         fits1 = band * (rows * A_b.dtype.itemsize + per) <= budget
         if B >= 2 and (fits1 or fits2):
@@ -686,7 +705,7 @@ def _bucket_bwd_call(starts, ii, A_b, Kr, g, dii_init, *, N, T, B, nl, tile_v,
             # consecutive steps on different scenes) whose extra window +
             # dII buffers fit the budget
             a_bytes = a_slots * rows * band * A_b.dtype.itemsize
-            per_s = 2 * band * C * (ii.dtype.itemsize + 4)
+            per_s = 2 * band * C * (ii.dtype.itemsize + acc_it)
             S = 1
             for cand in (4, 2):
                 if (B % cand == 0 and B // cand >= 2
@@ -699,7 +718,7 @@ def _bucket_bwd_call(starts, ii, A_b, Kr, g, dii_init, *, N, T, B, nl, tile_v,
             scratches = [
                 pltpu.VMEM((a_slots, rows, band), A_b.dtype),  # A tiles
                 pltpu.VMEM((2, S, wh, ww, C), ii.dtype),    # feature windows
-                pltpu.VMEM((2, S, wh, ww, C), jnp.float32),  # dII windows
+                pltpu.VMEM((2, S, wh, ww, C), dii_init.dtype),  # dII windows
                 pltpu.VMEM((rows, C), jnp.float32),         # dvox staging
                 pltpu.SemaphoreType.DMA((a_slots,)),
                 pltpu.SemaphoreType.DMA((2, S)),
@@ -711,7 +730,7 @@ def _bucket_bwd_call(starts, ii, A_b, Kr, g, dii_init, *, N, T, B, nl, tile_v,
             # window, plus the (band, C) fp32 dot output before the
             # accumulate; Kr/dKr fp32 + g tile + slack modeled at 3 MB
             per_serial = (rows * A_b.dtype.itemsize
-                          + C * ii.dtype.itemsize + C * 4 + C * 4)
+                          + C * ii.dtype.itemsize + C * acc_it + C * 4)
             _check_window_vmem(
                 "bwd", band * per_serial + int(3.0e6),
                 band=band, a_dtype=A_b.dtype, f_dtype=ii.dtype)
@@ -721,7 +740,7 @@ def _bucket_bwd_call(starts, ii, A_b, Kr, g, dii_init, *, N, T, B, nl, tile_v,
             scratches = [
                 pltpu.VMEM((rows, band), A_b.dtype),        # A tile
                 pltpu.VMEM((wh, ww, C), ii.dtype),          # feature window
-                pltpu.VMEM((wh, ww, C), jnp.float32),       # dII window
+                pltpu.VMEM((wh, ww, C), dii_init.dtype),    # dII window
                 pltpu.SemaphoreType.DMA(()),
                 pltpu.SemaphoreType.DMA(()),
                 pltpu.SemaphoreType.DMA(()),
@@ -757,12 +776,12 @@ def _bucket_bwd_call(starts, ii, A_b, Kr, g, dii_init, *, N, T, B, nl, tile_v,
         ),
         scratch_shapes=scratches,
     )
-    assert dii_init.shape == dii_shape and dii_init.dtype == jnp.float32
+    assert dii_init.shape == dii_shape and dii_init.dtype == ii.dtype
     dii, dkr = pl.pallas_call(
         kernel,
         grid_spec=grid_spec,
         out_shape=(
-            jax.ShapeDtypeStruct(dii_shape, jnp.float32),
+            jax.ShapeDtypeStruct(dii_shape, dii_init.dtype),
             jax.ShapeDtypeStruct((nl, C, n_out), jnp.float32),
         ),
         # alias the zeros-filled dII init (input 5 counting the scalar
@@ -778,20 +797,24 @@ def _bucket_bwd_call(starts, ii, A_b, Kr, g, dii_init, *, N, T, B, nl, tile_v,
 
 def _make_scale_op(*, N, B, nl, tile_v, C, n_out, interpret, buckets):
     """custom-VJP'd per-SCALE sampling op:
-    (starts_all, ii, A_all, Kr) -> ONE (N, B, T_total, tile_v, n_out) fp32
-    tiles buffer, all buckets pre-concatenated.
+    (starts_all, ii, A_all, Kr) -> ONE (N, B, T_total, tile_v, n_out) tiles
+    buffer in the FEATURE dtype, all buckets pre-concatenated.
 
     `buckets` is a static tuple of (T, band, window) per band bucket. The
     bwd is the hand-written transposed-banded-matmul kernel above. One VJP
-    for the whole scale (rather than per bucket) so the fp32 dII
-    accumulator is a SINGLE image-sized buffer threaded through the bucket
-    kernels via their input/output aliasing — per-bucket VJPs each
-    zero-filled their own full-size dII (1.1 GB at MultiviewC scale 0) and
-    left XLA to sum all of them, which was pure HBM traffic. The forward
-    threads its tiles buffer the same way (each bucket writes its own tile
-    range in place), so no bucket-concat copy exists either. A and starts
-    are rig structure (never trained), so their cotangents are DCE'd zeros
-    and float0s."""
+    for the whole scale (rather than per bucket) so the dII accumulator is
+    a SINGLE image-sized buffer threaded through the bucket kernels via
+    their input/output aliasing — per-bucket VJPs each zero-filled their
+    own full-size dII (1.1 GB at MultiviewC scale 0) and left XLA to sum
+    all of them, which was pure HBM traffic. The forward threads its tiles
+    buffer the same way (each bucket writes its own tile range in place),
+    so no bucket-concat copy exists either. The dII accumulator matches
+    the feature dtype: fp32 features accumulate exactly (the grad-parity
+    tests), bf16 training halves the read-modify-write traffic — each
+    window's contribution is still computed in fp32 and only the cross-
+    window accumulation rounds (a few overlapping windows per pixel). A and
+    starts are rig structure (never trained), so their cotangents are DCE'd
+    zeros and float0s."""
     common = dict(N=N, B=B, nl=nl, tile_v=tile_v, C=C, n_out=n_out,
                   interpret=interpret)
     T_total = sum(T for T, _, _ in buckets)
@@ -822,7 +845,7 @@ def _make_scale_op(*, N, B, nl, tile_v, C, n_out, interpret, buckets):
             dii_shape = (N, B, ii.shape[2], C)
         else:
             dii_shape = (N, B, ii.shape[2], ii.shape[3], C)
-        dii = jnp.zeros(dii_shape, jnp.float32)
+        dii = jnp.zeros(dii_shape, ii.dtype)
         dkr = jnp.zeros((nl, C, n_out), jnp.float32)
         for s, A_b, off_t, (T, band, window) in zip(starts_all, A_all, offs,
                                                     buckets):
@@ -900,11 +923,12 @@ def rig_sample_scale_pallas(lat, rig: ScaleRig, collapse_kernel, collapse_bias,
     # inv_perm gather runs BEFORE the bias+relu: they commute (bias is
     # per-channel, the permutation per-cell), and this order lets XLA fuse
     # relu(x + bias) into the caller's camera-sum reduce instead of
-    # materializing a second full (N, B, V2d, n_out) fp32 temp (5.6 GB at
-    # the grid2x stretch config — the allocation that capped its batch).
+    # materializing a second full (N, B, V2d, n_out) temp. The bias add
+    # stays in the tiles dtype — casting it to fp32 would promote the whole
+    # gather output back to fp32 and undo the bf16 traffic halving.
     out = tiles.reshape(N, B, tiles.shape[2] * tile_v, n_out)
     out = jax.vmap(lambda o_n, p_n: jnp.take(o_n, p_n, axis=1))(
         out, rig.inv_perm
     )                                                   # (N, B, V2d, n_out)
-    out = jax.nn.relu(out + collapse_bias.astype(jnp.float32))
+    out = jax.nn.relu(out + collapse_bias.astype(out.dtype))
     return jnp.swapaxes(out, 0, 1).astype(out_dtype)
