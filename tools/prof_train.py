@@ -101,6 +101,17 @@ def main():
         bb = ResNetGN((2, 2, 2, 2), remat=args.remat)
         x = batch["images"].reshape(B * cfg.num_cam, *batch["images"].shape[2:])
         bvars = bb.init(jax.random.PRNGKey(0), x[:1])
+        # match the real train step: params in the compute dtype (fp32
+        # params with bf16 inputs silently promote every conv to fp32)
+        bparams = jax.tree_util.tree_map(lambda v: v.astype(dtype),
+                                         bvars["params"])
+
+        @jax.jit
+        def bb_fwd(params, x):
+            f8, f16, f32 = bb.apply({"params": params}, x)
+            return (jnp.sum(f8.astype(jnp.float32))
+                    + jnp.sum(f16.astype(jnp.float32))
+                    + jnp.sum(f32.astype(jnp.float32)))
 
         @jax.jit
         def bb_fwdbwd(params, x):
@@ -111,7 +122,8 @@ def main():
                         + jnp.sum(f32.astype(jnp.float32) ** 2))
             return jax.grad(loss)(params)
 
-        bench("backbone fwd+bwd", bb_fwdbwd, bvars["params"], x,
+        bench("backbone fwd", bb_fwd, bparams, x)
+        bench("backbone fwd+bwd", bb_fwdbwd, bparams, x,
               force=lambda g_: jax.tree_util.tree_leaves(g_)[0])
 
     # ------------------------------------------------- stem microbenches --
@@ -142,6 +154,7 @@ def main():
         for pool in ("max", "avg"):
             st = Stem(pool=pool)
             sv = st.init(jax.random.PRNGKey(0), x[:1])
+            sv = jax.tree_util.tree_map(lambda v: v.astype(dtype), sv)
 
             @jax.jit
             def st_fb(params, x):
@@ -157,6 +170,7 @@ def main():
         a = jax.random.normal(jax.random.PRNGKey(2),
                               (B * cfg.num_cam, 180, 320, 64), dtype)
         gv = gn.init(jax.random.PRNGKey(0), a)
+        gv = jax.tree_util.tree_map(lambda v: v.astype(dtype), gv)
 
         @jax.jit
         def gn_fb(params, a):

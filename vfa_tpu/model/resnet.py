@@ -14,9 +14,22 @@ from __future__ import annotations
 from typing import Sequence, Tuple
 
 import flax.linen as nn
+import jax
 import jax.numpy as jnp
 
 GN_EPS = 1e-5  # torch GroupNorm default eps
+
+
+# Measured stem negative results (tools/prof_pool.py, prof_train.py --only
+# stem; do not re-derive):
+# - A space-to-depth rewrite of conv1 (2x2 phases + exact 4x4 kernel) does
+#   NOT help: backbone fwd+bwd 28.1 -> 28.7 ms/scene. XLA already handles
+#   the 3-input-channel conv; the stem cost is max_pool + GN, not conv1.
+# - The max_pool VJP lowers to SelectAndScatter (~5.2 ms/scene f+b at
+#   MultiviewC stem scale) and that IS the fastest formulation on TPU: a
+#   max-of-9-strided-slices rewrite is 13x slower (interior-pad VJPs) and a
+#   phase-decomposed stride-1 variant 5x slower (the (..., W, C) ->
+#   (..., W/2, 2, C) reshape breaks the lane layout).
 
 
 
