@@ -66,7 +66,7 @@ def main():
                    help="split the backbone+laterals over the B*N camera "
                         "image axis into this many rematerialized chunks "
                         "(caps the conv1/maxpool temp allocations; 0 = auto: "
-                        "2 for --train batches >= 8, else 1)")
+                        "unchunked first, chunked as the OOM fallback)")
     p.add_argument("--train", action="store_true",
                    help="measure training step throughput instead of "
                         "inference (fwd + encode + loss + bwd + SGD)")
@@ -112,8 +112,13 @@ def main():
     tcfg = TrainConfig(pretrained=False, compute_dtype=args.dtype)
     rig_impl = "xla" if args.no_rig else args.rig_impl
 
-    def model_for(batch_size):
-        chunks = args.chunks or (2 if args.train and batch_size >= 8 else 1)
+    def model_for(batch_size, chunks=0):
+        # auto: unchunked first — the chunked scan pays a full extra
+        # backbone forward (remat), ~3 ms/scene; since the bf16 feature-
+        # dtype HBM buffers, batch 8 fits unchunked (15.9 vs 14.4
+        # scenes/sec). The chunked variant remains the fallback attempt
+        # for configs where unchunked batch 8 still OOMs.
+        chunks = args.chunks or chunks or 1
         return create_model(cfg, tcfg, rig_impl=rig_impl,
                             backbone_remat=args.remat,
                             backbone_chunks=chunks)
@@ -139,11 +144,11 @@ def main():
                         cache_dir=os.path.expanduser("~/.cache/vfa_tpu_rig"))
         print(f"# rig build: {time.perf_counter() - t_rig:.1f}s", file=sys.stderr)
 
-    def make_train_fn(batch_size):
+    def make_train_fn(batch_size, chunks=0):
         from vfa_tpu.train_lib import init_state, make_train_step
         from vfa_tpu.utils import pad_objects
 
-        model = model_for(batch_size)
+        model = model_for(batch_size, chunks)
 
         scenes = [make_scene(cfg, seed=s, num_objects=6)
                   for s in range(batch_size)]
@@ -181,8 +186,8 @@ def main():
 
         return Runner(state), (batch, rig)
 
-    def make_fn(batch_size):
-        model = model_for(batch_size)
+    def make_fn(batch_size, chunks=0):
+        model = model_for(batch_size, chunks)
         scenes = [make_scene(cfg, seed=s, num_objects=6) for s in range(batch_size)]
         images = jnp.stack([s.images for s in scenes]).astype(dtype)
         calibs = jnp.stack([s.calibs for s in scenes])
@@ -227,15 +232,20 @@ def main():
         return float(jnp.sum(out[key]))
 
     maker = make_train_fn if args.train else make_fn
+    # attempts: (batch, backbone_chunks). Training tries batch 8 unchunked
+    # first (fastest), then chunked (halved stem temps) before shrinking
+    # the batch — at WT scale unchunked 8 can OOM where chunked 8 fits.
     if args.batch:
-        batch_sizes = [args.batch]
+        attempts = [(args.batch, 0)]
     elif args.train:
-        batch_sizes = [2, 1] if args.grid2x else [8, 4, 2, 1]
+        attempts = ([(2, 1), (1, 1)] if args.grid2x
+                    else [(8, 1), (8, 2), (4, 1), (2, 1), (1, 1)])
     else:
-        batch_sizes = [8, 4, 2, 1] if args.grid2x else [16, 8, 4, 2, 1]
-    for bs in batch_sizes:
+        attempts = ([(8, 1), (4, 1), (2, 1), (1, 1)] if args.grid2x
+                    else [(16, 1), (8, 1), (4, 1), (2, 1), (1, 1)])
+    for bs, chunks in attempts:
         try:
-            jfn, fargs = maker(bs)
+            jfn, fargs = maker(bs, chunks)
             sync(jfn(*fargs))  # compile + first run
             # warmup must be inside the fallback: in --train mode the second
             # call recompiles for the donated state's output layouts, and
@@ -244,8 +254,9 @@ def main():
                 sync(jfn(*fargs))
             break
         except Exception as e:  # noqa: BLE001 — OOM fallback to smaller batch
-            print(f"batch {bs} failed: {type(e).__name__}: {e}", file=sys.stderr)
-            if bs == batch_sizes[-1]:
+            print(f"batch {bs} (chunks {chunks}) failed: "
+                  f"{type(e).__name__}: {e}", file=sys.stderr)
+            if (bs, chunks) == attempts[-1]:
                 raise
             # drop the failed attempt's executable + device args before the
             # next attempt: a mid-execution OOM leaves them bound, and the
