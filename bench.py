@@ -108,7 +108,13 @@ def main():
         cfg = dataclasses.replace(cfg, cube_size=(l // 2, w // 2, h))
         print(f"# grid2x: BEV grid {cfg.grid_shape}", file=sys.stderr)
     if not args.buckets:
-        args.buckets = 8 if args.train else 12
+        # grid2x training needs the 12-bucket rig (the 8-bucket A is ~1 GB
+        # bigger from band padding and OOMs with the VJP live)
+        args.buckets = 12 if (args.grid2x or not args.train) else 8
+    if args.grid2x and args.train and not args.remat:
+        # measured: grid2x batch-1 training OOMs without backbone remat
+        args.remat = True
+        print("# grid2x train: backbone remat forced on", file=sys.stderr)
     tcfg = TrainConfig(pretrained=False, compute_dtype=args.dtype)
     rig_impl = "xla" if args.no_rig else args.rig_impl
 

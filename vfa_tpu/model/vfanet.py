@@ -199,8 +199,9 @@ class VFANet(nn.Module):
             ):
                 lat5 = lat.reshape(B, N, *lat.shape[1:])
                 contrib = rig_sample_scale(lat5, sr, kernel, bias,
-                                           out_dtype=jnp.float32)
-                ortho = ortho + jnp.sum(contrib, axis=1)
+                                           out_dtype=jnp.float32,
+                                           camera_sum=True)
+                ortho = ortho + contrib
             return ortho.reshape(B, L, W, 256).astype(lat8.dtype)
 
         def boxes_fn(calib):

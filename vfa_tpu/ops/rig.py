@@ -843,7 +843,7 @@ jax.tree_util.register_dataclass(
 
 
 def rig_sample_scale(lat, rig: ScaleRig, collapse_kernel, collapse_bias,
-                     out_dtype=None):
+                     out_dtype=None, camera_sum=False):
     """One scale, all cameras, batched scenes.
 
     lat: (B, N, fh, fw, C) lateral features.
@@ -933,4 +933,8 @@ def rig_sample_scale(lat, rig: ScaleRig, collapse_kernel, collapse_bias,
         out, rig.inv_perm
     )                                                   # (N, B, V2d, 256)
     out = jax.nn.relu(out + collapse_bias.astype(jnp.float32))
+    if camera_sum:
+        # cross-camera sum folded into the epilogue (see the pallas
+        # variant): avoids materializing the (B, N, V2d, 256) map
+        return jnp.sum(out.astype(out_dtype), axis=0)   # (B, V2d, 256)
     return jnp.swapaxes(out, 0, 1).astype(out_dtype)    # (B, N, V2d, 256)

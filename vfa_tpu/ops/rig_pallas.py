@@ -865,8 +865,47 @@ def _make_scale_op(*, N, B, nl, tile_v, C, n_out, interpret, buckets):
     return op
 
 
+@jax.custom_vjp
+def _bev_unpermute(tiles, inv_perm):
+    """Un-permute tile rows to BEV cell order.
+
+    tiles (N, B, rows, C) gathered by inv_perm (N, V2d) -> (N, B, V2d, C).
+    inv_perm is INJECTIVE (each BEV cell lives in exactly one tile row;
+    padded rows are unused), so the VJP is itself a gather by the inverse
+    map — XLA can't see the injectivity and emits zeros+scatter per scale
+    for the autodiff transpose (measured 5.5 ms/scene of kCustom scatter
+    fusions plus their 700 MB zero-init broadcasts at MultiviewC batch 8);
+    the inverse-gather with OOB fill (pad rows take 0) replaces all of it.
+    """
+    return jax.vmap(lambda t_n, p_n: jnp.take(t_n, p_n, axis=1))(
+        tiles, inv_perm)
+
+
+def _bev_unpermute_fwd(tiles, inv_perm):
+    return _bev_unpermute(tiles, inv_perm), (inv_perm, tiles.shape[2])
+
+
+def _bev_unpermute_bwd(res, g):
+    inv_perm, rows = res
+    n_cam, v2d = inv_perm.shape
+    # invert the permutation on the fly: tiny (N, rows) int32 scatter;
+    # unused (pad) rows keep index v2d == one-past-the-end -> OOB fill 0
+    fwd = jnp.full((n_cam, rows), v2d, jnp.int32)
+    fwd = fwd.at[jnp.arange(n_cam)[:, None], inv_perm].set(
+        jnp.broadcast_to(jnp.arange(v2d, dtype=jnp.int32), (n_cam, v2d)))
+    dt = jax.vmap(lambda g_n, f_n: jnp.take(g_n, f_n, axis=1, mode="fill",
+                                            fill_value=0))(g, fwd)
+    import numpy as np
+
+    return dt, np.zeros(inv_perm.shape, dtype=jax.dtypes.float0)
+
+
+_bev_unpermute.defvjp(_bev_unpermute_fwd, _bev_unpermute_bwd)
+
+
 def rig_sample_scale_pallas(lat, rig: ScaleRig, collapse_kernel, collapse_bias,
-                            out_dtype=None, interpret=False):
+                            out_dtype=None, interpret=False,
+                            camera_sum=False):
     """Drop-in replacement for `ops.rig.rig_sample_scale` running the fused
     Pallas kernel. Same contract: lat (B, N, fh, fw, C) ->
     (B, N, V2d, n_out) with relu(collapse(vox)) un-permuted to BEV order.
@@ -927,8 +966,13 @@ def rig_sample_scale_pallas(lat, rig: ScaleRig, collapse_kernel, collapse_bias,
     # stays in the tiles dtype — casting it to fp32 would promote the whole
     # gather output back to fp32 and undo the bf16 traffic halving.
     out = tiles.reshape(N, B, tiles.shape[2] * tile_v, n_out)
-    out = jax.vmap(lambda o_n, p_n: jnp.take(o_n, p_n, axis=1))(
-        out, rig.inv_perm
-    )                                                   # (N, B, V2d, n_out)
+    out = _bev_unpermute(out, rig.inv_perm)             # (N, B, V2d, n_out)
     out = jax.nn.relu(out + collapse_bias.astype(out.dtype))
+    if camera_sum:
+        # fold the cross-camera reduction into the epilogue: XLA fuses
+        # gather+relu+reduce and never materializes the (B, N, V2d, n_out)
+        # out_dtype map — at MultiviewC batch 8 that map was 4.2 GB of
+        # fp32 per step (10.6 ms of near-roofline copy, the largest
+        # forward-side temp in the whole train step)
+        return jnp.sum(out.astype(out_dtype), axis=0)   # (B, V2d, n_out)
     return jnp.swapaxes(out, 0, 1).astype(out_dtype)

@@ -216,8 +216,9 @@ def sample_bev_sharded(lats, srig: BevShardedRig, kernels, biases,
             )
             contrib = rig_sample_scale_pallas(lat, sr, k, b,
                                               out_dtype=jnp.float32,
-                                              interpret=interpret)
-            ortho = ortho + jnp.sum(contrib, axis=1)    # camera sum
+                                              interpret=interpret,
+                                              camera_sum=True)
+            ortho = ortho + contrib
         return ortho                                    # (B, V2d_slab, C)
 
     spec_tree = jax.tree_util.tree_map(lambda _: P(axis), srig.scales)
