@@ -62,6 +62,11 @@ def main():
     p.add_argument("--remat", action="store_true",
                    help="rematerialize backbone blocks in training "
                         "(frees activation HBM for larger batches)")
+    p.add_argument("--stem_remat", type=int, default=0,
+                   help="rematerialize the stem conv1+GN+maxpool only "
+                        "(measured NEUTRAL at MC batch 8 — 57.96 vs 57.95 "
+                        "ms/scene — and does not unlock unchunked batch 16; "
+                        "kept as an experiment knob)")
     p.add_argument("--chunks", type=int, default=0,
                    help="split the backbone+laterals over the B*N camera "
                         "image axis into this many rematerialized chunks "
@@ -125,9 +130,11 @@ def main():
         # scenes/sec). The chunked variant remains the fallback attempt
         # for configs where unchunked batch 8 still OOMs.
         chunks = args.chunks or chunks or 1
+        stem_remat = bool(args.stem_remat)
         return create_model(cfg, tcfg, rig_impl=rig_impl,
                             backbone_remat=args.remat,
-                            backbone_chunks=chunks)
+                            backbone_chunks=chunks,
+                            stem_remat=stem_remat)
 
     dtype = jnp.bfloat16 if args.dtype == "bfloat16" else jnp.float32
 

@@ -28,6 +28,7 @@ def main():
     p.add_argument("--batch", type=int, default=4)
     p.add_argument("--dtype", type=str, default="bfloat16")
     p.add_argument("--remat", action="store_true")
+    p.add_argument("--stem_remat", action="store_true")
     p.add_argument("--iters", type=int, default=10)
     p.add_argument("--data", type=str, default="MultiviewC")
     p.add_argument("--buckets", type=int, default=8)
@@ -59,7 +60,8 @@ def main():
     only = set(args.only.split(",")) if args.only else None
 
     model = create_model(cfg, tcfg, rig_impl="pallas",
-                         backbone_remat=args.remat)
+                         backbone_remat=args.remat,
+                         stem_remat=args.stem_remat)
     calibs = make_calibrations(cfg, cfg.num_cam)
     g = make_grid(cfg.world_size, cfg.cube_size[:2], cfg.name)
     tile_v = default_tile_v(cfg.num_layers, "pallas", "window")
@@ -83,8 +85,13 @@ def main():
         batch["rotation"] = jnp.stack([o["rotation"] for o in objs])
 
     def bench(name, fn, *fargs, force=None):
-        out = fn(*fargs)
-        float(jnp.sum(force(out) if force else out))  # compile + sync
+        # TWO warmup calls: with a donated state the second call recompiles
+        # for the donated output layouts — timing after one warmup puts that
+        # multi-second recompile inside the timed loop (measured: 800 vs
+        # 58 ms/scene for the full train step)
+        for _ in range(2):
+            out = fn(*fargs)
+            float(jnp.sum(force(out) if force else out))  # compile + sync
         t0 = time.perf_counter()
         for _ in range(args.iters):
             out = fn(*fargs)

@@ -83,13 +83,28 @@ class ResNetGN(nn.Module):
     # extra forward for dropping the stage activations from HBM (enables
     # larger scene batches in training; param names are unchanged)
     remat: bool = False
+    # rematerialize the stem only: the pre-pool conv1 activation is the
+    # single largest residual in the whole net (full-res/2 x 64ch); under
+    # HBM pressure XLA compresses/uncompresses it across the step instead.
+    # Recomputing conv1+GN in the backward pass drops it entirely.
+    stem_remat: bool = False
 
     @nn.compact
     def __call__(self, x) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
-        x = nn.Conv(64, (7, 7), strides=(2, 2), padding=((3, 3), (3, 3)),
-                    use_bias=False, name="conv1")(x)
-        x = nn.relu(group_norm("bn1")(x))
-        x = nn.max_pool(x, (3, 3), strides=(2, 2), padding=((1, 1), (1, 1)))
+        def stem(mdl, xc):
+            del mdl  # scope carrier for nn.remat; children attach compactly
+            xc = nn.Conv(64, (7, 7), strides=(2, 2), padding=((3, 3), (3, 3)),
+                         use_bias=False, name="conv1")(xc)
+            xc = nn.relu(group_norm("bn1")(xc))
+            return nn.max_pool(xc, (3, 3), strides=(2, 2),
+                               padding=((1, 1), (1, 1)))
+
+        if self.stem_remat:
+            # prevent_cse=True: outside a scan body XLA would otherwise CSE
+            # the rematerialized stem back into the stored original
+            x = nn.remat(stem, prevent_cse=True)(self, x)
+        else:
+            x = stem(self, x)
 
         inplanes = 64
         feats = []

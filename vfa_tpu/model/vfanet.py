@@ -67,6 +67,9 @@ class VFANet(nn.Module):
     # 64-channel lane tiling) then peak at one chunk's worth instead of the
     # whole batch. 1 = single pass (inference default).
     backbone_chunks: int = 1
+    # rematerialize only the stem (conv1+GN+maxpool): drops the largest
+    # single residual (pre-pool conv1 activation) for one cheap recompute
+    stem_remat: bool = False
 
     def setup(self):
         if self.base not in RESNET_LAYERS:
@@ -76,7 +79,8 @@ class VFANet(nn.Module):
         if self.cfg.mode not in ("2D", "3D"):
             raise ValueError(f"mode error, expect `2D` or `3D`, got {self.cfg.mode}")
 
-        self.backbone = ResNetGN(RESNET_LAYERS[self.base], remat=self.backbone_remat, name="base")
+        self.backbone = ResNetGN(RESNET_LAYERS[self.base], remat=self.backbone_remat,
+                                 stem_remat=self.stem_remat, name="base")
         self.lat8 = nn.Conv(256, (1, 1), name="lat8")
         self.lat16 = nn.Conv(256, (1, 1), name="lat16")
         self.lat32 = nn.Conv(256, (1, 1), name="lat32")

@@ -151,11 +151,13 @@ def current_lr(tcfg: TrainConfig, steps_per_epoch: int, step: int) -> float:
 def create_model(cfg: DatasetConfig, tcfg: TrainConfig,
                  camera_reduce: str = "scan", rig_impl: str = "xla",
                  backbone_remat: bool = False,
-                 backbone_chunks: int = 1) -> VFANet:
+                 backbone_chunks: int = 1,
+                 stem_remat: bool = False) -> VFANet:
     return VFANet(cfg=cfg, base=tcfg.base, angle_range=tcfg.angle_range,
                   camera_reduce=camera_reduce, rig_impl=rig_impl,
                   backbone_remat=backbone_remat,
-                  backbone_chunks=backbone_chunks)
+                  backbone_chunks=backbone_chunks,
+                  stem_remat=stem_remat)
 
 
 def init_grid(grid):
