@@ -62,7 +62,7 @@ def main():
     p.add_argument("--remat", action="store_true",
                    help="rematerialize backbone blocks in training "
                         "(frees activation HBM for larger batches)")
-    p.add_argument("--stem_remat", type=int, default=0,
+    p.add_argument("--stem_remat", action="store_true",
                    help="rematerialize the stem conv1+GN+maxpool only "
                         "(measured NEUTRAL at MC batch 8 — 57.96 vs 57.95 "
                         "ms/scene — and does not unlock unchunked batch 16; "
@@ -81,6 +81,13 @@ def main():
                    help="2x-voxel-resolution stretch config (BASELINE config "
                         "5): halves the ground cube_size, MultiviewC "
                         "156x156 -> 325x325 BEV grid")
+    p.add_argument("--bev_shards", type=int, default=0,
+                   help="shard the BEV plane into this many row-slabs over "
+                        "a (data=1, bev=N) mesh (the grid2x scale-out path: "
+                        "each device holds rig/activations for its slab; "
+                        "fuse convs halo-exchange via GSPMD). Requires N "
+                        "visible devices; N=1 exercises the sharded code "
+                        "path on one chip. 0 = unsharded")
     args = p.parse_args()
 
     import jax
@@ -123,6 +130,13 @@ def main():
     tcfg = TrainConfig(pretrained=False, compute_dtype=args.dtype)
     rig_impl = "xla" if args.no_rig else args.rig_impl
 
+    bev_mesh = None
+    if args.bev_shards:
+        from vfa_tpu.parallel_bev import make_bev_mesh
+
+        bev_mesh = make_bev_mesh(data=1, bev=args.bev_shards,
+                                 devices=jax.devices()[:args.bev_shards])
+
     def model_for(batch_size, chunks=0):
         # auto: unchunked first — the chunked scan pays a full extra
         # backbone forward (remat), ~3 ms/scene; since the bf16 feature-
@@ -134,7 +148,8 @@ def main():
         return create_model(cfg, tcfg, rig_impl=rig_impl,
                             backbone_remat=args.remat,
                             backbone_chunks=chunks,
-                            stem_remat=stem_remat)
+                            stem_remat=stem_remat,
+                            bev_mesh=bev_mesh)
 
     dtype = jnp.bfloat16 if args.dtype == "bfloat16" else jnp.float32
 
@@ -150,11 +165,20 @@ def main():
         from vfa_tpu.ops.rig import default_tile_v
 
         tile_v = default_tile_v(cfg.num_layers, rig_impl, args.layout)
-        rig = build_rig(rig_calibs, cfg, g,
-                        pyramid_feat_shapes(cfg.resize_size),
-                        tile_v=tile_v, dtype=dtype,
-                        layout=args.layout, band_buckets=args.buckets,
-                        cache_dir=os.path.expanduser("~/.cache/vfa_tpu_rig"))
+        if args.bev_shards:
+            from vfa_tpu.parallel_bev import build_bev_sharded_rig
+
+            rig = build_bev_sharded_rig(
+                rig_calibs, cfg, g, pyramid_feat_shapes(cfg.resize_size),
+                num_shards=args.bev_shards, tile_v=tile_v, dtype=dtype,
+                band_buckets=args.buckets,
+                cache_dir=os.path.expanduser("~/.cache/vfa_tpu_rig"))
+        else:
+            rig = build_rig(rig_calibs, cfg, g,
+                            pyramid_feat_shapes(cfg.resize_size),
+                            tile_v=tile_v, dtype=dtype,
+                            layout=args.layout, band_buckets=args.buckets,
+                            cache_dir=os.path.expanduser("~/.cache/vfa_tpu_rig"))
         print(f"# rig build: {time.perf_counter() - t_rig:.1f}s", file=sys.stderr)
 
     def make_train_fn(batch_size, chunks=0):
@@ -188,6 +212,13 @@ def main():
                 lambda x: x.astype(jnp.bfloat16)
                 if x.dtype == jnp.float32 else x, state)
         step = make_train_step(model, tx, cfg, tcfg, dim_mean=dim_mean)
+        local_rig = rig
+        if bev_mesh is not None:
+            from vfa_tpu.parallel import replicate
+
+            state = replicate(state, bev_mesh)
+            batch = replicate(batch, bev_mesh)
+            local_rig = replicate(rig, bev_mesh)
 
         class Runner:
             def __init__(self, state):
@@ -197,7 +228,7 @@ def main():
                 self.state, loss = step(self.state, batch, rig)
                 return loss
 
-        return Runner(state), (batch, rig)
+        return Runner(state), (batch, local_rig)
 
     def make_fn(batch_size, chunks=0):
         model = model_for(batch_size, chunks)
@@ -214,6 +245,15 @@ def main():
             variables = jax.tree_util.tree_map(
                 lambda x: x.astype(jnp.bfloat16)
                 if x.dtype == jnp.float32 else x, variables)
+        local_rig = rig
+        if bev_mesh is not None:
+            from vfa_tpu.parallel import replicate
+
+            variables = replicate(variables, bev_mesh)
+            images = replicate(images, bev_mesh)
+            calibs = replicate(calibs, bev_mesh)
+            grid = replicate(grid, bev_mesh)
+            local_rig = replicate(rig, bev_mesh)
 
         def fwd(variables, images, calibs, grid, rig):
             pred = model.apply(variables, images, calibs, grid, rig=rig)
@@ -237,7 +277,7 @@ def main():
             return dec
 
         jfn = jax.jit(fwd)
-        return jfn, (variables, images, calibs, grid, rig)
+        return jfn, (variables, images, calibs, grid, local_rig)
 
     def sync(out):
         # the axon relay's block_until_ready is a no-op; force a host read
@@ -297,6 +337,8 @@ def main():
         file=sys.stderr,
     )
     g2x = "_grid2x" if args.grid2x else ""
+    if args.bev_shards:
+        g2x += f"_bev{args.bev_shards}"
     if args.train:
         print(json.dumps({
             "metric": f"{args.data.lower()}_{cfg.num_cam}cam_train"
@@ -309,7 +351,8 @@ def main():
         return
     print(json.dumps({
         "metric": f"{args.data.lower()}_{cfg.num_cam}cam{g2x}_scenes_per_sec_per_chip"
-                  if (args.data != "MultiviewC" or args.grid2x)
+                  if (args.data != "MultiviewC" or args.grid2x
+                      or args.bev_shards)
                   else "multiviewc_7cam_scenes_per_sec_per_chip",
         "value": round(scenes_per_sec, 3),
         "unit": "scenes/sec",

@@ -94,6 +94,73 @@ def test_sharded_grads_match(setup):
                                    rtol=1e-4, atol=1e-4)
 
 
+def test_bev_sharded_train_step_matches_unsharded():
+    """Full-model integration: a train step (fwd + encode + loss + bwd +
+    SGD) with the BEV plane slab-sharded over a 4-device `bev` mesh must
+    reproduce the single-device window-rig step in fp32 — loss and updated
+    params. Uses the 2x-resolution tiny config (factor=8 -> 19x19 grid,
+    ~4x the cells of the standard factor=16 test grid), the shape the
+    grid2x stretch config scales to."""
+    import jax.random as jr
+
+    from vfa_tpu.config import TrainConfig
+    from vfa_tpu.data.synthetic import make_scene, tiny_config
+    from vfa_tpu.parallel import replicate
+    from vfa_tpu.train_lib import create_model, init_state, make_train_step
+    from vfa_tpu.utils import pad_objects
+
+    tc = tiny_config(mc_opts, factor=8)
+    tcfg = TrainConfig(pretrained=False)
+    calibs = None
+    B = 2
+    scenes = [make_scene(tc, seed=s, num_objects=3) for s in range(B)]
+    calibs = np.asarray(scenes[0].calibs)
+    grid = make_grid(tc.world_size, tc.cube_size[:2], tc.name)
+    feat_shapes = pyramid_feat_shapes(tc.resize_size)
+    kw = dict(tile_v=16, dtype=jnp.float32, band_buckets=2)
+    full = build_rig(calibs, tc, grid, feat_shapes, layout="window", **kw)
+    srig = build_bev_sharded_rig(calibs, tc, grid, feat_shapes,
+                                 num_shards=4, **kw)
+    mesh = make_bev_mesh(data=1, bev=4, devices=jax.devices()[:4])
+
+    objs = [pad_objects(s.objects, 8, tc.mode) for s in scenes]
+    batch = {
+        "images": jnp.stack([s.images for s in scenes]),
+        "calibs": jnp.stack([s.calibs for s in scenes]),
+        "grid": jnp.asarray(grid),
+        "heatmap": jnp.stack([s.heatmap for s in scenes]),
+        "location": jnp.stack([o["location"] for o in objs]),
+        "valid": jnp.stack([o["valid"] for o in objs]),
+        "dimension": jnp.stack([o["dimension"] for o in objs]),
+        "rotation": jnp.stack([o["rotation"] for o in objs]),
+    }
+    dim_mean = jnp.asarray([145.0, 120.0, 255.0])
+
+    model_ref = create_model(tc, tcfg, rig_impl="pallas")
+    model_bev = create_model(tc, tcfg, rig_impl="pallas", bev_mesh=mesh)
+
+    state_ref, tx = init_state(model_ref, tc, tcfg, jr.PRNGKey(0), 4, batch)
+    state_bev, _ = init_state(model_bev, tc, tcfg, jr.PRNGKey(0), 4, batch)
+
+    step_ref = make_train_step(model_ref, tx, tc, tcfg, dim_mean=dim_mean)
+    step_bev = make_train_step(model_bev, tx, tc, tcfg, dim_mean=dim_mean)
+
+    new_ref, loss_ref = step_ref(state_ref, batch, full)
+    new_bev, loss_bev = step_bev(replicate(state_bev, mesh),
+                                 replicate(batch, mesh),
+                                 replicate(srig, mesh))
+
+    np.testing.assert_allclose(float(loss_bev["loss"]),
+                               float(loss_ref["loss"]), rtol=1e-5)
+    flat_r = jax.tree_util.tree_leaves_with_path(new_ref.params)
+    flat_b = {jax.tree_util.keystr(k): v for k, v in
+              jax.tree_util.tree_leaves_with_path(new_bev.params)}
+    for k, v in flat_r:
+        np.testing.assert_allclose(
+            np.asarray(flat_b[jax.tree_util.keystr(k)]), np.asarray(v),
+            rtol=1e-4, atol=1e-5, err_msg=jax.tree_util.keystr(k))
+
+
 def test_fuse_convs_on_sharded_bev(setup):
     """3x3 convs over the row-sharded BEV map: GSPMD must partition them
     (halo exchange) and match the unsharded conv result."""

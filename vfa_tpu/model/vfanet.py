@@ -70,6 +70,13 @@ class VFANet(nn.Module):
     # rematerialize only the stem (conv1+GN+maxpool): drops the largest
     # single residual (pre-pool conv1 activation) for one cheap recompute
     stem_remat: bool = False
+    # mesh for BEV spatial sharding: when a BevShardedRig is passed as
+    # `rig`, sampling runs shard_map over this mesh's `bev_axis` (each
+    # device holds one row-slab of the rig and computes its slab's BEV
+    # cells; the fuse/head convs then run spatially partitioned by GSPMD
+    # halo exchange). None = single-device / data-parallel only.
+    bev_mesh: Any = None
+    bev_axis: str = "bev"
 
     def setup(self):
         if self.base not in RESNET_LAYERS:
@@ -186,6 +193,27 @@ class VFANet(nn.Module):
 
         cfg = self.cfg
         L, W = grid.shape[0], grid.shape[1]
+
+        if rig is not None and hasattr(rig, "num_shards"):
+            # BevShardedRig: slab-sharded sampling over the bev mesh axis.
+            # Returns (B, L, W, n_out) with the row axis sharded — the fuse
+            # and head convs downstream partition spatially via GSPMD halo
+            # exchange (`vfa/model/vfanet.py:45-46` are the halo consumers).
+            from vfa_tpu.parallel_bev import sample_bev_sharded
+
+            if self.bev_mesh is None:
+                raise ValueError(
+                    "BevShardedRig requires VFANet(bev_mesh=...) — the mesh "
+                    "whose axis the BEV row-slabs shard over")
+            lats = [lat.reshape(B, N, *lat.shape[1:])
+                    for lat in (lat8, lat16, lat32)]
+            kernels = [self.collapse8_kernel, self.collapse16_kernel,
+                       self.collapse32_kernel]
+            biases = [self.collapse8_bias, self.collapse16_bias,
+                      self.collapse32_bias]
+            return sample_bev_sharded(
+                lats, rig, kernels, biases, self.bev_mesh,
+                axis=self.bev_axis, out_dtype=lat8.dtype)
 
         if rig is not None:
             if self.rig_impl == "pallas":

@@ -119,7 +119,8 @@ def _unify_scale(slabs: Sequence[ScaleRig], dtype) -> ScaleRig:
                 # fw_pad - ww_b stays 8-aligned (both 16-aligned)
                 ry2 = np.minimum(st_old[..., 0], max(fh_pad - wh_b[b], 0))
                 rx2 = np.minimum(st_old[..., 1], max(fw_pad - ww_b[b], 0))
-                st_new[..., 0], st_new[..., 1] = ry2, rx2
+                st_new[:, :T_old[b], 0] = ry2
+                st_new[:, :T_old[b], 1] = rx2
                 oy = st_old[..., 0] - ry2          # content shift >= 0
                 ox = st_old[..., 1] - rx2
                 A5 = A_old.reshape(num_cam, T_old[b], rows, who, wwo)

@@ -152,12 +152,14 @@ def create_model(cfg: DatasetConfig, tcfg: TrainConfig,
                  camera_reduce: str = "scan", rig_impl: str = "xla",
                  backbone_remat: bool = False,
                  backbone_chunks: int = 1,
-                 stem_remat: bool = False) -> VFANet:
+                 stem_remat: bool = False,
+                 bev_mesh=None, bev_axis: str = "bev") -> VFANet:
     return VFANet(cfg=cfg, base=tcfg.base, angle_range=tcfg.angle_range,
                   camera_reduce=camera_reduce, rig_impl=rig_impl,
                   backbone_remat=backbone_remat,
                   backbone_chunks=backbone_chunks,
-                  stem_remat=stem_remat)
+                  stem_remat=stem_remat,
+                  bev_mesh=bev_mesh, bev_axis=bev_axis)
 
 
 def init_grid(grid):
