@@ -81,6 +81,18 @@ def main():
                    help="2x-voxel-resolution stretch config (BASELINE config "
                         "5): halves the ground cube_size, MultiviewC "
                         "156x156 -> 325x325 BEV grid")
+    p.add_argument("--from_disk", action="store_true",
+                   help="feed the steady-state loop from an on-disk JPEG "
+                        "dataset through SceneLoader (decode + host->device "
+                        "staging overlapped with device compute) instead of "
+                        "pre-staged device arrays; generates the synthetic "
+                        "dataset under --disk_dir on first use")
+    p.add_argument("--disk_dir", type=str, default="/tmp/vfa_loader_bench")
+    p.add_argument("--disk_frames", type=int, default=24)
+    p.add_argument("--loader_threads", type=int,
+                   default=max(1, min(16, (os.cpu_count() or 1))))
+    p.add_argument("--image_backend", type=str, default="native",
+                   choices=["native", "pil"])
     p.add_argument("--bev_shards", type=int, default=0,
                    help="shard the BEV plane into this many row-slabs over "
                         "a (data=1, bev=N) mesh (the grid2x scale-out path: "
@@ -93,8 +105,6 @@ def main():
     import jax
 
     try:  # persistent compile cache makes repeat runs fast
-        import os
-
         cache = os.environ.get("JAX_COMPILATION_CACHE_DIR",
                                os.path.expanduser("~/.cache/jax_comp_cache"))
         os.makedirs(cache, exist_ok=True)
@@ -207,10 +217,9 @@ def main():
                       for k, v in batch.items()}
         state, tx = init_state(model, cfg, tcfg, jax.random.PRNGKey(0),
                                100, init_batch)
-        if args.dtype == "bfloat16":
-            state = jax.tree_util.tree_map(
-                lambda x: x.astype(jnp.bfloat16)
-                if x.dtype == jnp.float32 else x, state)
+        # bf16 training is MIXED precision: params/momentum stay fp32
+        # master copies in the state; make_train_step casts at use
+        # (tcfg.compute_dtype), so no cast here.
         step = make_train_step(model, tx, cfg, tcfg, dim_mean=dim_mean)
         local_rig = rig
         if bev_mesh is not None:
@@ -223,6 +232,7 @@ def main():
         class Runner:
             def __init__(self, state):
                 self.state = state
+                self.step = step  # exposed for cost_analysis (MFU)
 
             def __call__(self, batch, rig):
                 self.state, loss = step(self.state, batch, rig)
@@ -284,6 +294,28 @@ def main():
         key = "loss" if args.train else "conf"
         return float(jnp.sum(out[key]))
 
+    # bf16 peak matmul TFLOP/s per chip (MFU denominator); fp32 runs are
+    # still reported against the bf16 peak so MFU stays comparable.
+    PEAK_TFLOPS = {"TPU v4": 275.0, "TPU v5 lite": 197.0, "TPU v5e": 197.0,
+                   "TPU v5": 459.0, "TPU v5p": 459.0, "TPU v6 lite": 918.0,
+                   "TPU v6e": 918.0}
+
+    def step_flops(jfn, fargs):
+        """XLA's own FLOP count for the compiled step (covers backbone +
+        rig matmuls + heads + decode + backward when training)."""
+        try:
+            if hasattr(jfn, "step"):  # train Runner: lower the jitted step
+                lowered = jfn.step.lower(jfn.state, *fargs)
+            else:
+                lowered = jfn.lower(*fargs)
+            cost = lowered.compile().cost_analysis()
+            if isinstance(cost, (list, tuple)):
+                cost = cost[0]
+            return float(cost.get("flops", 0.0)) or None
+        except Exception as e:  # noqa: BLE001 — relay may not expose costs
+            print(f"# cost_analysis unavailable: {e}", file=sys.stderr)
+            return None
+
     maker = make_train_fn if args.train else make_fn
     # attempts: (batch, backbone_chunks). Training tries batch 8 unchunked
     # first (fastest), then chunked (halved stem temps) before shrinking
@@ -321,24 +353,81 @@ def main():
     else:
         raise RuntimeError("no batch size worked")
 
-    # steady-state throughput: pipeline dispatches, sync once at the end
-    t0 = time.perf_counter()
-    out = None
-    for _ in range(args.iters):
-        out = jfn(*fargs)
-    sync(out)
-    t = (time.perf_counter() - t0) / args.iters
+    if args.from_disk:
+        # real input pipeline: JPEG decode (SceneLoader thread pool) +
+        # host->device transfer run concurrently with device compute —
+        # dispatches are async, so while the chip executes step i the host
+        # decodes batch i+1 and stages batch i's successor. Images
+        # transfer fp32 and cast to the compute dtype on device (HBM-side
+        # cast beats a single-core host cast).
+        from tools.bench_loader import DiskFrames, ensure_dataset
+        from vfa_tpu.data.frame_dataset import SceneLoader
+
+        fpaths = ensure_dataset(os.path.join(args.disk_dir, args.data),
+                                args.disk_frames, cfg.num_cam,
+                                cfg.resize_size, quality=90)
+        ds = DiskFrames(cfg, fpaths, args.disk_frames, args.image_backend)
+        loader = SceneLoader(ds, batch_size=bs, shuffle=False,
+                             num_threads=args.loader_threads, max_objects=8,
+                             drop_last=True)
+        stage = jax.jit(lambda x: x.astype(dtype))
+        done = 0
+        out = None
+        t0 = time.perf_counter()
+        while done < args.iters:
+            for nb in loader:
+                imgs = stage(jnp.asarray(nb["images"]))
+                if args.train:
+                    db = dict(fargs[0])
+                    db["images"] = imgs
+                    out = jfn(db, fargs[1])
+                else:
+                    out = jfn(fargs[0], imgs, *fargs[2:])
+                done += 1
+                if done >= args.iters:
+                    break
+        sync(out)
+        t = (time.perf_counter() - t0) / args.iters
+    else:
+        # steady-state throughput: pipeline dispatches, sync once at the end
+        t0 = time.perf_counter()
+        out = None
+        for _ in range(args.iters):
+            out = jfn(*fargs)
+        sync(out)
+        t = (time.perf_counter() - t0) / args.iters
 
     scenes_per_sec = bs / t
     p50_ms = t / bs * 1000.0
+    device_kind = jax.devices()[0].device_kind
     print(
         f"# batch={bs} p50={p50_ms:.2f} ms/scene over {args.iters} iters "
-        f"(dtype={args.dtype}, device={jax.devices()[0].device_kind})",
+        f"(dtype={args.dtype}, device={device_kind})",
         file=sys.stderr,
     )
+    # MFU: achieved FLOP/s from XLA's compiled cost model vs chip peak
+    mfu_extra = {}
+    flops = step_flops(jfn, fargs)
+    if flops and rig is not None and rig_impl == "pallas":
+        # XLA's cost model sees ~0 FLOPs inside Pallas custom calls — add
+        # the rig sampling/collapse matmuls from the builder's own model
+        from vfa_tpu.ops.rig import rig_matmul_flops
+
+        flops += bs * rig_matmul_flops(rig, train=args.train)
+    if flops:
+        tflops_s = flops / t / 1e12
+        mfu_extra["tflops_per_sec"] = round(tflops_s, 2)
+        peak = PEAK_TFLOPS.get(device_kind)
+        if peak:
+            mfu_extra["mfu"] = round(tflops_s / peak, 4)
+        print(f"# {flops / 1e9:.1f} GFLOP/step -> {tflops_s:.1f} TFLOP/s"
+              + (f" = {tflops_s / peak * 100:.1f}% of {device_kind} bf16 peak"
+                 if peak else ""), file=sys.stderr)
     g2x = "_grid2x" if args.grid2x else ""
     if args.bev_shards:
         g2x += f"_bev{args.bev_shards}"
+    if args.from_disk:
+        g2x += "_fromdisk"
     if args.train:
         print(json.dumps({
             "metric": f"{args.data.lower()}_{cfg.num_cam}cam_train"
@@ -347,16 +436,18 @@ def main():
             "unit": "scenes/sec",
             "vs_baseline": round(
                 scenes_per_sec / BASELINE_TRAIN_SCENES_PER_SEC, 4),
+            **mfu_extra,
         }))
         return
     print(json.dumps({
         "metric": f"{args.data.lower()}_{cfg.num_cam}cam{g2x}_scenes_per_sec_per_chip"
                   if (args.data != "MultiviewC" or args.grid2x
-                      or args.bev_shards)
+                      or args.bev_shards or args.from_disk)
                   else "multiviewc_7cam_scenes_per_sec_per_chip",
         "value": round(scenes_per_sec, 3),
         "unit": "scenes/sec",
         "vs_baseline": round(scenes_per_sec / BASELINE_SCENES_PER_SEC, 4),
+        **mfu_extra,
     }))
 
 

@@ -65,6 +65,18 @@ def test_evaluate_cli_smoke(tmp_path):
         assert n.endswith(".txt")
 
 
+def test_evaluate_cli_rig_pallas_smoke(tmp_path):
+    """The shipping sampling path (--rig --rig_impl pallas) through the eval
+    CLI: on CPU the Pallas kernels run in interpret mode, so this covers the
+    kernel call surface + rig build + eval artifacts end to end."""
+    out = tmp_path / "eval"
+    _run([
+        "evaluate.py", "--data", "MultiviewC", "--synthetic", "--tiny",
+        "--rig", "--rig_impl", "pallas", "--out_dir", str(out),
+    ])
+    assert len([p for p in out.iterdir() if p.name.endswith(".txt")]) == 4
+
+
 def test_predict_cli_smoke(tmp_path):
     out = tmp_path / "prediction.png"
     _run([

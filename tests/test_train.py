@@ -188,6 +188,71 @@ def test_train_steps_reduce_loss():
     assert pred["heatmap"].shape[0] == 2
 
 
+def test_mixed_precision_fp32_master_keeps_small_updates():
+    """compute_dtype='bfloat16' is MIXED precision: the train step keeps
+    fp32 master params + momentum and casts at use. At a tiny lr the
+    per-step increment is below bf16 resolution relative to the weights —
+    a bf16 master copy would silently drop it; the fp32 master must not."""
+    tc = tiny_config(mc_opts)
+    tcfg = TrainConfig(epochs=100, lr=2e-6, scheduler_step_per_epoch=False,
+                       cycle_momentum=False, momentum=0.0, weight_decay=0.0,
+                       pretrained=False, compute_dtype="bfloat16")
+    model = create_model(tc, tcfg)
+    batch = _batch(tc, seeds=[0])
+    batch["images"] = batch["images"].astype(jnp.bfloat16)
+    state, tx = init_state(model, tc, tcfg, jax.random.PRNGKey(0), 4, batch)
+    p_before = jax.device_get(state.params)
+    step = make_train_step(model, tx, tc, tcfg, dim_mean=DIM_MEAN)
+    state, ld = step(state, batch)  # donates its input state
+    assert np.isfinite(float(ld["loss"]))
+
+    # master params and momentum stayed fp32 (never cast at rest)
+    for leaf in jax.tree_util.tree_leaves(state.params):
+        assert leaf.dtype == jnp.float32
+    for leaf in jax.tree_util.tree_leaves(state.opt_state.trace):
+        assert leaf.dtype == jnp.float32
+
+    p_after = jax.device_get(state.params)
+    moved = lost_in_bf16 = 0
+    for b, a in zip(jax.tree_util.tree_leaves(p_before),
+                    jax.tree_util.tree_leaves(p_after)):
+        b, a = np.asarray(b), np.asarray(a)
+        changed = a != b
+        moved += int(changed.sum())
+        # elements whose update rounds away when applied to a bf16 master
+        lost_in_bf16 += int((changed & (b.astype(jnp.bfloat16)
+                                        == a.astype(jnp.bfloat16))).sum())
+    assert moved > 0, "no parameter moved — grads did not flow"
+    # at lr=2e-6 the increments are ~1e4x below bf16 eps * |w|: a bf16
+    # master copy would have lost essentially every one of them
+    assert lost_in_bf16 >= 0.95 * moved, (moved, lost_in_bf16)
+
+
+def test_mixed_precision_loss_tracks_fp32():
+    """Multi-step bf16-compute loss curve stays close to the fp32 curve on
+    the same synthetic recipe (convergence smoke for the bf16 bench)."""
+    tc = tiny_config(mc_opts)
+    losses = {}
+    for dt in ("float32", "bfloat16"):
+        tcfg = TrainConfig(epochs=100, lr=0.002, scheduler_step_per_epoch=False,
+                           pretrained=False, compute_dtype=dt)
+        model = create_model(tc, tcfg)
+        batch = _batch(tc, seeds=[0, 1])
+        if dt == "bfloat16":
+            batch["images"] = batch["images"].astype(jnp.bfloat16)
+        state, tx = init_state(model, tc, tcfg, jax.random.PRNGKey(0), 4,
+                               {k: (v if k == "grid" else v[:1])
+                                for k, v in batch.items()})
+        step = make_train_step(model, tx, tc, tcfg, dim_mean=DIM_MEAN)
+        curve = []
+        for _ in range(8):
+            state, ld = step(state, batch)
+            curve.append(float(ld["loss"]))
+        losses[dt] = curve
+    np.testing.assert_allclose(losses["bfloat16"], losses["float32"],
+                               rtol=0.05)
+
+
 def test_checkpoint_roundtrip(tmp_path):
     from vfa_tpu.checkpoint import (
         latest_checkpoint,

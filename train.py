@@ -283,11 +283,12 @@ def main():
         print("compiled-rig sampling enabled")
 
     if tcfg.compute_dtype == "bfloat16":
-        # cast params/optimizer moments to bf16 (counters stay integer)
-        state = jax.tree_util.tree_map(
-            lambda x: x.astype(jnp.bfloat16)
-            if hasattr(x, "dtype") and x.dtype == jnp.float32 else x, state)
-        print("training in bfloat16")
+        # Mixed precision: params + optimizer momentum stay fp32 MASTER
+        # copies in the state; make_train_step casts them to bf16 at use
+        # (convs/matmuls run bf16 on the MXU, the SGD update accumulates
+        # fp32 — a bf16 master copy silently drops lr*grad increments
+        # below bf16 resolution; see train_lib.make_train_step).
+        print("mixed precision: bfloat16 compute, float32 master params")
 
     mesh = None
     if args.multihost:
@@ -308,7 +309,10 @@ def main():
         return make_global_batch(jb, mesh)
 
     train_step = make_train_step(model, tx, cfg, tcfg, dim_mean=dim_mean)
-    eval_step = make_eval_step(model, cfg, dim_mean=dim_mean)
+    eval_step = make_eval_step(
+        model, cfg, dim_mean=dim_mean,
+        compute_dtype=(jnp.bfloat16 if tcfg.compute_dtype == "bfloat16"
+                       else None))
 
     from vfa_tpu.codec import ObjectEncoder
 

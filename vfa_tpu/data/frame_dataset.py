@@ -58,31 +58,43 @@ class FrameDataset:
     def __len__(self):
         return len(self.frame_range)
 
-    def load_images(self, index: int) -> np.ndarray:
+    def load_images(self, index: int, out: Optional[np.ndarray] = None
+                    ) -> np.ndarray:
         """(N, H, W, 3) float32 in [0, 1], resized to cfg.resize_size.
 
         Decoding goes through vfa_tpu.native.imageio: PIL by default
         (reference-pipeline parity) or the C++ libjpeg/libpng loader
-        (GIL-free, multi-core) with image_backend='native'."""
+        (GIL-free, multi-core) with image_backend='native'. `out`: optional
+        preallocated (N, H, W, 3) float32 slot — each camera decodes
+        straight into its row (no stack copy)."""
         from vfa_tpu.native.imageio import load_image
 
         frame = list(self.frame_range)[index]
-        return np.stack([
+        if out is None:
+            return np.stack([
+                load_image(self.fpaths[cam][frame], self.cfg.resize_size,
+                           self.image_backend)
+                for cam in range(1, self.num_cam + 1)
+            ])
+        for ci, cam in enumerate(range(1, self.num_cam + 1)):
             load_image(self.fpaths[cam][frame], self.cfg.resize_size,
-                       self.image_backend)
-            for cam in range(1, self.num_cam + 1)
-        ])
+                       self.image_backend, out=out[ci])
+        return out
 
-    def __getitem__(self, index: int) -> Dict[str, np.ndarray]:
+    def get(self, index: int, images_out: Optional[np.ndarray] = None
+            ) -> Dict[str, np.ndarray]:
         return {
             "index": index,
             "frame": list(self.frame_range)[index],
-            "images": self.load_images(index),
+            "images": self.load_images(index, out=images_out),
             "calibs": self.calibs,
             "objects": self.labels[index],
             "heatmap": self.heatmaps[index],
             "grid": self.grid,
         }
+
+    def __getitem__(self, index: int) -> Dict[str, np.ndarray]:
+        return self.get(index)
 
 
 class SceneLoader:
@@ -125,22 +137,30 @@ class SceneLoader:
             return n // self.batch_size
         return (n + self.batch_size - 1) // self.batch_size
 
-    def _make_batch(self, idxs: Sequence[int],
-                    seed: Optional[int] = None) -> Dict[str, np.ndarray]:
-        items = [self.ds[i] for i in idxs]
-        mode = self.ds.cfg.mode
+    def _load_item(self, buf: np.ndarray, k: int, index: int,
+                   seed: Optional[int]) -> Dict[str, np.ndarray]:
+        """One scene: decode all cameras straight into batch slot buf[k].
+
+        The unit of pool work is the SCENE, not the batch, so a batch's
+        cameras decode on num_threads cores concurrently (the native
+        backend releases the GIL per image) instead of serially inside one
+        batch task."""
+        it = self.ds.get(index, images_out=buf[k])
         if self.augment is not None:
-            # per-batch child rng: deterministic given the loader seed and
-            # thread-safe (each pool task owns its generator)
-            rng = np.random.default_rng(seed)
-            for it in items:
-                it["images"] = self.augment(it["images"], rng)
+            # per-item child rng: deterministic given the loader seed and
+            # independent of pool scheduling
+            buf[k] = self.augment(it["images"], np.random.default_rng(seed))
+        return it
+
+    def _assemble(self, items: List[Dict], images: np.ndarray
+                  ) -> Dict[str, np.ndarray]:
+        mode = self.ds.cfg.mode
         objs = [pad_objects(it["objects"], self.max_objects, mode)
                 for it in items]
         batch = {
             "index": np.asarray([it["index"] for it in items]),
             "frame": np.asarray([it["frame"] for it in items]),
-            "images": np.stack([it["images"] for it in items]),
+            "images": images,
             "calibs": np.stack([it["calibs"] for it in items]),
             "grid": items[0]["grid"],
             "heatmap": np.stack([it["heatmap"] for it in items]),
@@ -167,19 +187,44 @@ class SceneLoader:
         if self.drop_last:
             chunks = [c for c in chunks if len(c) == self.batch_size]
 
-        seeds = self._rng.integers(0, 2**63, size=len(chunks))
+        seeds = self._rng.integers(0, 2**62, size=len(chunks))
         jobs = list(zip(chunks, seeds))
+        h, w = self.ds.cfg.resize_size
+
+        # Ring of reusable staging buffers: a fresh np.empty per batch costs
+        # ~30x the fill itself in first-touch page faults at MultiviewC
+        # scale (batch 8 = 619 MB). The yielded batch's `images` array is
+        # REUSED after `prefetch + 3` further batches — consumers must
+        # transfer/copy before then (train.py / bench.py stage to device
+        # immediately; anything accumulating host batches must copy).
+        # Persisted across epochs so pages fault in once per loader.
+        shape = (self.batch_size, self.ds.num_cam, h, w, 3)
+        if getattr(self, "_ring", None) is None or \
+                self._ring[0].shape != shape:
+            self._ring = [np.empty(shape, np.float32)
+                          for _ in range(self.prefetch + 4)]
+        ring = self._ring
+        slot = [0]
 
         with cf.ThreadPoolExecutor(self.num_threads) as pool:
+            def submit(chunk, seed):
+                buf = ring[slot[0] % len(ring)][:len(chunk)]
+                slot[0] += 1
+                futs = [pool.submit(self._load_item, buf, k, int(i),
+                                    int(seed) + k)
+                        for k, i in enumerate(chunk)]
+                return buf, futs
+
             pending = []
             it = iter(jobs)
             for _ in range(self.prefetch + 1):
                 j = next(it, None)
                 if j is not None:
-                    pending.append(pool.submit(self._make_batch, *j))
+                    pending.append(submit(*j))
             while pending:
-                fut = pending.pop(0)
+                buf, futs = pending.pop(0)
+                items = [f.result() for f in futs]
                 j = next(it, None)
                 if j is not None:
-                    pending.append(pool.submit(self._make_batch, *j))
-                yield fut.result()
+                    pending.append(submit(*j))
+                yield self._assemble(items, buf)

@@ -22,13 +22,16 @@ from typing import Tuple
 
 import numpy as np
 
-from vfa_tpu.eval.iou import iou_3d_pairwise
+from vfa_tpu.eval.iou import iou_3d, iou_3d_pairwise
 
 
 def frame_matches(preds: np.ndarray, gts: np.ndarray, thresh: float):
     """Per-frame TP/FP info rows: [conf, tp_flag, delta_ori].
 
     preds: (P, 8) [x y z l w h rot conf]; gts: (G, 7) [x y z l w h rot].
+    Single-frame reference semantics; the file-level sweep goes through the
+    batched `all_matches` instead (one IoU tensor for every frame and all
+    three thresholds — no per-frame-shape recompiles).
     """
     P = len(preds)
     if P == 0:
@@ -47,6 +50,66 @@ def frame_matches(preds: np.ndarray, gts: np.ndarray, thresh: float):
     matched = M[np.arange(P), best] > -np.inf
     out[:, 1] = matched
     out[:, 2] = np.where(matched, preds[:, 6] - gts[best, 6], 0.0)
+    return out
+
+
+def _pad_to(n: int, multiple: int = 16) -> int:
+    """Round up so distinct files reuse the same padded jit shape."""
+    return max(multiple, -(-n // multiple) * multiple)
+
+
+def all_matches(det_frames, gt_frames, threshs):
+    """Batched frame_matches over every frame and threshold at once.
+
+    Pads frames to (F, Pmax, 8)/(F, Gmax, 7), computes the full (F, Pmax,
+    Gmax) IoU3D tensor in ONE jitted call (the per-frame path compiles a
+    kernel per distinct (P, G) shape AND recomputes the matrix per
+    threshold — replaces `evaluateAPAOS.py:79-83`'s per-pair launches),
+    then applies each threshold to the shared tensor in numpy. Returns
+    {thresh: info rows} with rows in frame order / file order within a
+    frame — the order the stable confidence sort's tie-break depends on.
+    """
+    import jax
+    import jax.numpy as jnp
+
+    F = len(det_frames)
+    pmax = _pad_to(max((len(p) for p in det_frames), default=0))
+    gmax = _pad_to(max((len(g) for g in gt_frames), default=0))
+    # info rows (conf, delta_ori) stay float64 like the file contents —
+    # only the IoU itself runs fp32 (as the per-frame path always did)
+    preds = np.zeros((F, pmax, 8), np.float64)
+    gts = np.zeros((F, gmax, 7), np.float64)
+    pmask = np.zeros((F, pmax), bool)
+    gmask = np.zeros((F, gmax), bool)
+    for i, (p, g) in enumerate(zip(det_frames, gt_frames)):
+        preds[i, : len(p)] = p
+        pmask[i, : len(p)] = True
+        gts[i, : len(g)] = g
+        gmask[i, : len(g)] = True
+
+    def _mat(p, g):
+        shp = (p.shape[0], p.shape[1], g.shape[1], 7)
+        return iou_3d(jnp.broadcast_to(p[:, :, None, :], shp),
+                      jnp.broadcast_to(g[:, None, :, :], shp))
+
+    fn = jax.jit(_mat)
+    M = np.asarray(fn(jnp.asarray(preds[..., :7], jnp.float32),
+                      jnp.asarray(gts, jnp.float32)))
+    # padded boxes have zero volume (0/0 -> nan); mask every invalid pair
+    M = np.where(pmask[:, :, None] & gmask[:, None, :], M, -np.inf)
+
+    conf = preds[..., 7]
+    out = {}
+    for thresh in threshs:
+        Mt = np.where(M >= thresh, M, -np.inf)
+        best = Mt.argmax(axis=2)                         # (F, Pmax)
+        matched = np.take_along_axis(Mt, best[..., None], 2)[..., 0] > -np.inf
+        delta = np.where(
+            matched,
+            preds[..., 6] - np.take_along_axis(gts[..., 6], best, axis=1),
+            0.0)
+        rows = np.stack([conf, matched.astype(np.float64), delta], axis=-1)
+        out[thresh] = rows[pmask]                        # row-major: frame order
     return out
 
 
@@ -98,14 +161,10 @@ def evaluate_ap_aos(res_fpath: str, gt_fpath: str):
     det_frames = _reindex(det_raw, frames, with_conf=True)
     total_gt = sum(len(g) for g in gt_frames)
 
+    info_by_thresh = all_matches(det_frames, gt_frames, (0.75, 0.5, 0.25))
     results = []
     for thresh in (0.75, 0.5, 0.25):
-        rows = [
-            frame_matches(p, g, thresh)
-            for p, g in zip(det_frames, gt_frames)
-        ]
-        info = np.concatenate(rows) if rows else np.zeros((0, 3))
-        ap, aos = ap_aos_sweep(info, total_gt)
+        ap, aos = ap_aos_sweep(info_by_thresh[thresh], total_gt)
         os_metric = aos / ap if ap > 0 else 0.0
         results += [ap * 100, aos * 100, os_metric]
     # reorder to the reference's return signature

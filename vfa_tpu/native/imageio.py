@@ -69,13 +69,20 @@ def native_available() -> bool:
     return _get_lib() is not None
 
 
-def load_image_native(path: str, size_hw) -> np.ndarray:
-    """(h, w, 3) float32 in [0,1], or raises on decode failure."""
+def load_image_native(path: str, size_hw, out=None) -> np.ndarray:
+    """(h, w, 3) float32 in [0,1], or raises on decode failure.
+
+    `out`: optional preallocated C-contiguous (h, w, 3) float32 slot the
+    decoder writes into directly (the SceneLoader batches decode straight
+    into the staged batch array — no stack copy)."""
     h, w = int(size_hw[0]), int(size_hw[1])
     lib = _get_lib()
     if lib is None:
         raise RuntimeError("native imageio unavailable")
-    out = np.empty((h, w, 3), np.float32)
+    if out is None:
+        out = np.empty((h, w, 3), np.float32)
+    assert out.flags.c_contiguous and out.dtype == np.float32 \
+        and out.shape == (h, w, 3)
     rc = lib.load_image_resized(
         path.encode(), h, w, out.ctypes.data_as(ctypes.POINTER(ctypes.c_float)))
     if rc != 0:
@@ -83,21 +90,25 @@ def load_image_native(path: str, size_hw) -> np.ndarray:
     return out
 
 
-def load_image_pil(path: str, size_hw) -> np.ndarray:
+def load_image_pil(path: str, size_hw, out=None) -> np.ndarray:
     from PIL import Image
 
     h, w = int(size_hw[0]), int(size_hw[1])
     img = Image.open(path).convert("RGB")
     if img.size != (w, h):
         img = img.resize((w, h), Image.BILINEAR)
-    return np.asarray(img, np.float32) / 255.0
+    arr = np.asarray(img, np.uint8)
+    if out is None:
+        return arr.astype(np.float32) / 255.0
+    np.multiply(arr, np.float32(1 / 255.0), out=out)
+    return out
 
 
-def load_image(path: str, size_hw, backend: str = "auto") -> np.ndarray:
+def load_image(path: str, size_hw, backend: str = "auto", out=None) -> np.ndarray:
     """backend: 'pil' (reference parity), 'native' (fast), or 'auto'
     (VFA_TPU_IMAGE_BACKEND env, default pil)."""
     if backend == "auto":
         backend = os.environ.get("VFA_TPU_IMAGE_BACKEND", "pil")
     if backend == "native" and native_available():
-        return load_image_native(path, size_hw)
-    return load_image_pil(path, size_hw)
+        return load_image_native(path, size_hw, out=out)
+    return load_image_pil(path, size_hw, out=out)

@@ -833,6 +833,30 @@ def build_rig(
     return CameraRig(scales=scales, grid_shape=(L, W))
 
 
+def rig_matmul_flops(rig: CameraRig, channels: int = 256, n_out: int = 256,
+                     train: bool = False) -> int:
+    """Executed MXU FLOPs per SCENE of the rig sampling + collapse.
+
+    Counts the A-bucket matmuls at their allocated (padded) dims — i.e.
+    work the chip actually performs — plus the per-camera nl-collapse.
+    XLA's cost_analysis reports ~0 for Pallas custom calls, so bench.py
+    adds this for the MFU line. train=True doubles the A matmuls (the VJP
+    is one A^T @ dy per bucket; A itself is constant) and triples the
+    collapse (dx and dW)."""
+    a_mul = 4 if train else 2          # 2 FLOPs/MAC, x2 for the bwd matmul
+    c_mul = 6 if train else 2
+    total = 0
+    for sr in rig.scales:
+        cam_tiles = 0                  # (cameras x tiles) incl. shard dims
+        for A in sr.A:
+            rows, band = A.shape[-2:]
+            lead = int(np.prod(A.shape[:-2]))
+            total += a_mul * lead * rows * band * channels
+            cam_tiles += lead
+        total += c_mul * cam_tiles * sr.tile_v * (sr.nl * channels) * n_out
+    return total
+
+
 jax.tree_util.register_dataclass(
     ScaleRig, data_fields=["A", "starts", "inv_perm"],
     meta_fields=["feat_hw", "nl", "tile_v", "on_raw", "window_hw"],

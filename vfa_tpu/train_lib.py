@@ -227,10 +227,25 @@ def make_train_step(model: VFANet, tx, cfg: DatasetConfig, tcfg: TrainConfig,
     loss_fn3 = functools.partial(compute_loss3d, loss_weight=cfg.loss_weight)
     loss_fn2 = functools.partial(compute_loss2d, loss_weight=cfg.loss_weight)
     dim_mean = None if dim_mean is None else jnp.asarray(dim_mean)
+    # Mixed precision (compute_dtype='bfloat16'): params and optimizer
+    # momentum stay fp32 MASTER copies; the model applies a bf16 cast AT
+    # USE each step, so convs/matmuls run bf16 while the SGD update
+    # accumulates in fp32. A bf16 master copy loses small lr*grad
+    # increments entirely (bf16 eps ~ 7.8e-3: 1.0 + 1e-4 == 1.0), which
+    # is why params are never cast at rest (tests/test_train.py pins
+    # this). The cast is differentiable — cotangents come back fp32.
+    compute_dtype = (jnp.bfloat16 if tcfg.compute_dtype == "bfloat16"
+                     else jnp.float32)
+
+    def cast_at_use(tree):
+        return jax.tree_util.tree_map(
+            lambda x: x.astype(compute_dtype)
+            if x.dtype == jnp.float32 else x, tree)
 
     def loss_fn(params, batch_stats, batch, rig):
         pred, updates = model.apply(
-            {"params": params, "batch_stats": batch_stats},
+            {"params": cast_at_use(params),
+             "batch_stats": cast_at_use(batch_stats)},
             batch["images"], batch["calibs"], batch["grid"],
             train=True, rig=rig, mutable=["batch_stats"],
         )
@@ -242,7 +257,11 @@ def make_train_step(model: VFANet, tx, cfg: DatasetConfig, tcfg: TrainConfig,
             loss, loss_dict = loss_fn3(pred, gt)
         else:
             loss, loss_dict = loss_fn2(pred, gt)
-        return loss, (loss_dict, updates["batch_stats"])
+        # running BN stats live fp32 alongside the master params
+        new_bs = jax.tree_util.tree_map(
+            lambda x: x.astype(jnp.float32)
+            if x.dtype == compute_dtype else x, updates["batch_stats"])
+        return loss, (loss_dict, new_bs)
 
     @functools.partial(jax.jit, donate_argnums=(0,))
     def train_step(state: TrainState, batch, rig=None):
@@ -260,14 +279,26 @@ def make_train_step(model: VFANet, tx, cfg: DatasetConfig, tcfg: TrainConfig,
     return train_step
 
 
-def make_eval_step(model: VFANet, cfg: DatasetConfig, dim_mean=None):
-    """Jitted validation step: loss under running BN stats, no update."""
+def make_eval_step(model: VFANet, cfg: DatasetConfig, dim_mean=None,
+                   compute_dtype=None):
+    """Jitted validation step: loss under running BN stats, no update.
+
+    compute_dtype: cast fp32 variables at use (mixed-precision validation
+    matching the train step's recipe); None = apply as stored."""
     dim_mean = None if dim_mean is None else jnp.asarray(dim_mean)
+
+    def cast(tree):
+        if compute_dtype is None:
+            return tree
+        return jax.tree_util.tree_map(
+            lambda x: x.astype(compute_dtype)
+            if x.dtype == jnp.float32 else x, tree)
 
     @jax.jit
     def eval_step(state: TrainState, batch, rig=None):
         pred = model.apply(
-            {"params": state.params, "batch_stats": state.batch_stats},
+            {"params": cast(state.params),
+             "batch_stats": cast(state.batch_stats)},
             batch["images"], batch["calibs"], batch["grid"], train=False,
             rig=rig,
         )
