@@ -357,20 +357,27 @@ def main():
         # real input pipeline: JPEG decode (SceneLoader thread pool) +
         # host->device transfer run concurrently with device compute —
         # dispatches are async, so while the chip executes step i the host
-        # decodes batch i+1 and stages batch i's successor. Images
-        # transfer fp32 and cast to the compute dtype on device (HBM-side
-        # cast beats a single-core host cast).
+        # decodes batch i+1 and stages batch i's successor. Batches stage
+        # as uint8 (4x fewer H2D bytes — and the reference's own pipeline
+        # quantization: PIL resize is uint8 before ToTensor divides); the
+        # [0,1] normalization + compute-dtype cast happen on-device.
         from tools.bench_loader import DiskFrames, ensure_dataset
         from vfa_tpu.data.frame_dataset import SceneLoader
 
+        # drop_last=True needs at least one full batch of frames on disk
+        n_frames = max(args.disk_frames, bs)
         fpaths = ensure_dataset(os.path.join(args.disk_dir, args.data),
-                                args.disk_frames, cfg.num_cam,
+                                n_frames, cfg.num_cam,
                                 cfg.resize_size, quality=90)
-        ds = DiskFrames(cfg, fpaths, args.disk_frames, args.image_backend)
+        ds = DiskFrames(cfg, fpaths, n_frames, args.image_backend)
         loader = SceneLoader(ds, batch_size=bs, shuffle=False,
                              num_threads=args.loader_threads, max_objects=8,
-                             drop_last=True)
-        stage = jax.jit(lambda x: x.astype(dtype))
+                             drop_last=True, images_dtype=np.uint8)
+        stage = jax.jit(
+            lambda x: (x.astype(jnp.float32) * (1.0 / 255.0)).astype(dtype))
+        for nb in loader:  # warm: page cache, staging ring, stage() compile
+            sync_imgs = stage(jnp.asarray(nb["images"]))
+        float(jnp.sum(sync_imgs))
         done = 0
         out = None
         t0 = time.perf_counter()

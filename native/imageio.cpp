@@ -187,13 +187,9 @@ void resize_to_float(const uint8_t* src, int sw, int sh, float* dst, int dw,
   }
 }
 
-}  // namespace
-
-extern "C" {
-
-// Decode `path` (JPEG or PNG by magic bytes) and bilinearly resize into
-// out[out_h * out_w * 3] float32 RGB in [0,1]. Returns 0 on success.
-int load_image_resized(const char* path, int out_h, int out_w, float* out) {
+// Shared decode front-end: JPEG or PNG by magic bytes, native-size RGB8.
+int decode_file(const char* path, std::vector<uint8_t>& rgb, int& w, int& h,
+                int target_w, int target_h) {
   FILE* f = fopen(path, "rb");
   if (!f) return 1;
   uint8_t magic[8] = {0};
@@ -202,11 +198,9 @@ int load_image_resized(const char* path, int out_h, int out_w, float* out) {
     return 2;
   }
   rewind(f);
-  std::vector<uint8_t> rgb;
-  int w = 0, h = 0;
   bool ok;
   if (magic[0] == 0xFF && magic[1] == 0xD8) {
-    ok = decode_jpeg(f, rgb, w, h, out_w, out_h);
+    ok = decode_jpeg(f, rgb, w, h, target_w, target_h);
   } else if (magic[0] == 0x89 && magic[1] == 'P') {
     ok = decode_png(f, rgb, w, h);
   } else {
@@ -215,11 +209,49 @@ int load_image_resized(const char* path, int out_h, int out_w, float* out) {
   }
   fclose(f);
   if (!ok || w <= 0 || h <= 0) return 4;
+  return 0;
+}
+
+}  // namespace
+
+extern "C" {
+
+// Decode `path` (JPEG or PNG by magic bytes) and bilinearly resize into
+// out[out_h * out_w * 3] float32 RGB in [0,1]. Returns 0 on success.
+int load_image_resized(const char* path, int out_h, int out_w, float* out) {
+  std::vector<uint8_t> rgb;
+  int w = 0, h = 0;
+  int rc = decode_file(path, rgb, w, h, out_w, out_h);
+  if (rc) return rc;
   if (w == out_w && h == out_h) {
     const float s = 1.0f / 255.0f;
     for (size_t i = 0; i < (size_t)w * h * 3; ++i) out[i] = rgb[i] * s;
   } else {
     resize_to_float(rgb.data(), w, h, out, out_w, out_h);
+  }
+  return 0;
+}
+
+// Same, but quantized uint8 RGB output (round-to-nearest of the float
+// pipeline's 255*v). The reference's own pipeline is uint8 after resize
+// (PIL resize -> torchvision ToTensor); a uint8 batch also moves 4x fewer
+// bytes host->device, with the [0,1] normalization done on-device.
+int load_image_resized_u8(const char* path, int out_h, int out_w,
+                          uint8_t* out) {
+  std::vector<uint8_t> rgb;
+  int w = 0, h = 0;
+  int rc = decode_file(path, rgb, w, h, out_w, out_h);
+  if (rc) return rc;
+  const size_t n = (size_t)out_h * out_w * 3;
+  if (w == out_w && h == out_h) {
+    memcpy(out, rgb.data(), n);
+    return 0;
+  }
+  std::vector<float> tmp(n);
+  resize_to_float(rgb.data(), w, h, tmp.data(), out_w, out_h);
+  for (size_t i = 0; i < n; ++i) {
+    float v = tmp[i] * 255.0f + 0.5f;
+    out[i] = v <= 0.0f ? 0 : (v >= 255.0f ? 255 : (uint8_t)v);
   }
   return 0;
 }

@@ -188,3 +188,26 @@ def test_frame_dataset_and_loader(mini_mc):
     assert b["location"].shape == (2, 8, 3)
     assert b["valid"].sum() == 6  # 3 objects per frame
     assert b["dimension"].shape == (2, 8, 3)
+
+
+def test_loader_uint8_staging_matches_float(mini_mc):
+    """images_dtype=uint8 (4x-smaller H2D staging) must be the quantized
+    float pipeline, batch for batch."""
+    import dataclasses
+
+    from vfa_tpu.config import mc_opts
+
+    base = MultiviewC(mini_mc)
+    base.num_frame = 4
+    cfg = dataclasses.replace(mc_opts, root=mini_mc, resize_size=(32, 48))
+    train = FrameDataset(base, cfg, split="train", train_ratio=0.75)
+
+    kw = dict(batch_size=2, shuffle=False, max_objects=8)
+    bf = list(SceneLoader(train, **kw))
+    bu = list(SceneLoader(train, images_dtype=np.uint8, **kw))
+    assert len(bf) == len(bu)
+    for f, u in zip(bf, bu):
+        assert u["images"].dtype == np.uint8
+        np.testing.assert_allclose(u["images"].astype(np.float32) / 255.0,
+                                   f["images"], atol=1.0 / 255.0)
+        np.testing.assert_array_equal(u["frame"], f["frame"])

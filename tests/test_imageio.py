@@ -58,3 +58,29 @@ def test_upscale(images):
 def test_missing_file_raises():
     with pytest.raises(RuntimeError):
         load_image_native("/nonexistent/x.jpg", (8, 8))
+
+
+def test_uint8_out_matches_float_path(images):
+    """uint8 `out` (quantized staging: 4x fewer H2D bytes) must be the
+    rounded float pipeline — identity decode, resize, and JPEG."""
+    arr, jpg, png = images
+    for path, size in ((png, (64, 96)), (png, (32, 48)), (jpg, (64, 96))):
+        f32 = load_image_native(path, size)
+        u8 = load_image_native(path, size,
+                               out=np.empty((*size, 3), np.uint8))
+        expect = np.clip(np.round(f32 * 255.0), 0, 255)
+        assert np.abs(u8.astype(np.float32) - expect).max() <= 1.0
+    # identity-size decode is the exact stored bytes
+    u8 = load_image_native(png, (64, 96),
+                           out=np.empty((64, 96, 3), np.uint8))
+    np.testing.assert_array_equal(u8, arr)
+
+
+def test_uint8_out_pil_backend(images):
+    """PIL backend with a uint8 `out` copies the decoder's native uint8."""
+    arr, _, png = images
+    u8 = load_image_pil(png, (64, 96), out=np.empty((64, 96, 3), np.uint8))
+    np.testing.assert_array_equal(u8, arr)
+    d32 = load_image_pil(png, (32, 48))
+    d8 = load_image_pil(png, (32, 48), out=np.empty((32, 48, 3), np.uint8))
+    np.testing.assert_allclose(d8.astype(np.float32) / 255.0, d32, atol=1e-6)

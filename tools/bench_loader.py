@@ -102,12 +102,13 @@ class DiskFrames(FrameDataset):
         self.dim_mean = None
 
 
-def bench_raw(fpaths, cams, frames, size, backend, seconds=6.0):
+def bench_raw(fpaths, cams, frames, size, backend, dtype=np.float32,
+              seconds=6.0):
     from vfa_tpu.native.imageio import load_image
 
     paths = [fpaths[cam][f] for f in range(frames) for cam in
              range(1, cams + 1)]
-    out = np.empty((*size, 3), np.float32)
+    out = np.empty((*size, 3), dtype)
     # warm page cache + backend init
     load_image(paths[0], size, backend, out=out)
     n, t0 = 0, time.perf_counter()
@@ -118,9 +119,10 @@ def bench_raw(fpaths, cams, frames, size, backend, seconds=6.0):
     return n / dt
 
 
-def bench_loader(ds, batch_size, threads, min_scenes=48):
+def bench_loader(ds, batch_size, threads, dtype=np.float32, min_scenes=48):
     loader = SceneLoader(ds, batch_size=batch_size, shuffle=False,
-                         num_threads=threads, max_objects=8)
+                         num_threads=threads, max_objects=8,
+                         images_dtype=dtype)
     for b in loader:  # warm: page cache, thread pool, staging-ring pages
         pass
     scenes = 0
@@ -158,25 +160,27 @@ def main():
 
     rates = {}
     for backend in ("pil", "native"):
-        r = bench_raw(fpaths, cams, args.frames, size, backend)
-        rates[backend] = r
-        print(json.dumps({
-            "metric": f"decode_{backend}_images_per_sec_per_core",
-            "value": round(r, 1), "unit": "images/sec",
-            "vs_baseline": round(r / (args.target * cams), 4),
-        }))
+        for dtype, tag in ((np.float32, ""), (np.uint8, "_u8")):
+            r = bench_raw(fpaths, cams, args.frames, size, backend, dtype)
+            rates[backend + tag] = r
+            print(json.dumps({
+                "metric": f"decode_{backend}{tag}_images_per_sec_per_core",
+                "value": round(r, 1), "unit": "images/sec",
+                "vs_baseline": round(r / (args.target * cams), 4),
+            }))
 
     threads = args.threads or sorted({1, 2, max(1, cores // 2), cores,
                                       2 * cores})
     for backend in ("pil", "native"):
         ds = DiskFrames(cfg, fpaths, args.frames, backend)
-        for t in threads:
-            r = bench_loader(ds, args.batch, t)
-            print(json.dumps({
-                "metric": f"loader_{backend}_t{t}_scenes_per_sec",
-                "value": round(r, 2), "unit": "scenes/sec",
-                "vs_baseline": round(r / args.target, 4),
-            }))
+        for dtype, tag in ((np.float32, ""), (np.uint8, "_u8")):
+            for t in threads:
+                r = bench_loader(ds, args.batch, t, dtype)
+                print(json.dumps({
+                    "metric": f"loader_{backend}{tag}_t{t}_scenes_per_sec",
+                    "value": round(r, 2), "unit": "scenes/sec",
+                    "vs_baseline": round(r / args.target, 4),
+                }))
 
     need = args.target * cams / rates["native"]
     print(f"# feeding {args.target} scenes/sec needs ~{need:.0f} cores at "

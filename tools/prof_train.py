@@ -31,7 +31,12 @@ def main():
     p.add_argument("--stem_remat", action="store_true")
     p.add_argument("--iters", type=int, default=10)
     p.add_argument("--data", type=str, default="MultiviewC")
-    p.add_argument("--buckets", type=int, default=8)
+    p.add_argument("--buckets", type=int, default=0,
+                   help="band buckets (0 = auto: 8, or 12 with --grid2x)")
+    p.add_argument("--grid2x", action="store_true",
+                   help="2x-voxel-resolution stretch config (325x325 BEV)")
+    p.add_argument("--tile_v", type=int, default=0,
+                   help="rig tile_v override (0 = default for the layout)")
     p.add_argument("--only", type=str, default="",
                    help="comma list of sections to run (default all)")
     args = p.parse_args()
@@ -53,6 +58,14 @@ def main():
     from vfa_tpu.utils import pad_objects
 
     cfg = get_config(args.data)
+    if args.grid2x:
+        import dataclasses
+
+        l, w, h = cfg.cube_size
+        cfg = dataclasses.replace(cfg, cube_size=(l // 2, w // 2, h))
+        print(f"# grid2x: BEV grid {cfg.grid_shape}")
+    if not args.buckets:
+        args.buckets = 12 if args.grid2x else 8
     tcfg = TrainConfig(pretrained=False, compute_dtype=args.dtype)
     dtype = jnp.bfloat16 if args.dtype == "bfloat16" else jnp.float32
     dim_mean = jnp.asarray([145.0, 120.0, 255.0]) if cfg.mode == "3D" else None
@@ -64,7 +77,8 @@ def main():
                          stem_remat=args.stem_remat)
     calibs = make_calibrations(cfg, cfg.num_cam)
     g = make_grid(cfg.world_size, cfg.cube_size[:2], cfg.name)
-    tile_v = default_tile_v(cfg.num_layers, "pallas", "window")
+    tile_v = args.tile_v or default_tile_v(cfg.num_layers, "pallas",
+                                           "window")
     rig = build_rig(calibs, cfg, g, pyramid_feat_shapes(cfg.resize_size),
                     tile_v=tile_v, dtype=dtype, layout="window",
                     band_buckets=args.buckets,
@@ -232,10 +246,8 @@ def main():
         state, tx = init_state(
             model, cfg, tcfg, jax.random.PRNGKey(0), 100,
             {k: (v if k == "grid" else v[:1]) for k, v in batch.items()})
-        if args.dtype == "bfloat16":
-            state = jax.tree_util.tree_map(
-                lambda x: x.astype(jnp.bfloat16)
-                if x.dtype == jnp.float32 else x, state)
+        # mixed precision: fp32 master state, the step casts at use
+        # (matches train.py / bench.py --train)
         step = make_train_step(model, tx, cfg, tcfg, dim_mean=dim_mean)
 
         holder = {"state": state}

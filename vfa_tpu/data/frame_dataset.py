@@ -104,6 +104,7 @@ class SceneLoader:
                  shuffle: bool = False, max_objects: int = 128,
                  num_threads: int = 8, prefetch: int = 2, seed: int = 0,
                  drop_last: bool = False, augment=None,
+                 images_dtype=np.float32,
                  process_id: int = 0, process_count: int = 1):
         self.ds = dataset
         self.batch_size = batch_size
@@ -113,6 +114,13 @@ class SceneLoader:
         self.prefetch = prefetch
         self.drop_last = drop_last
         self.augment = augment  # callable (images (N,H,W,3), rng) -> images
+        # uint8 stages quantized [0,255] batches: 4x fewer host bytes and
+        # 4x less host->device traffic; consumers normalize on-device
+        # (x.astype(f)/255). That quantization is the reference's own
+        # pipeline (PIL resize is uint8 before ToTensor divides).
+        self.images_dtype = np.dtype(images_dtype)
+        if augment is not None and self.images_dtype != np.float32:
+            raise ValueError("augment expects float32 images")
         # multi-host: every process shuffles with the SAME seed, then takes a
         # disjoint strided shard — per-host DCN-side IO, no frame read twice.
         # make_global_batch requires every process to yield the same number
@@ -201,7 +209,7 @@ class SceneLoader:
         shape = (self.batch_size, self.ds.num_cam, h, w, 3)
         if getattr(self, "_ring", None) is None or \
                 self._ring[0].shape != shape:
-            self._ring = [np.empty(shape, np.float32)
+            self._ring = [np.empty(shape, self.images_dtype)
                           for _ in range(self.prefetch + 4)]
         ring = self._ring
         slot = [0]
