@@ -174,7 +174,8 @@ def main():
         t_rig = time.perf_counter()
         from vfa_tpu.ops.rig import default_tile_v
 
-        tile_v = default_tile_v(cfg.num_layers, rig_impl, args.layout)
+        tile_v = default_tile_v(cfg.num_layers, rig_impl, args.layout,
+                                 dtype=dtype)
         if args.bev_shards:
             from vfa_tpu.parallel_bev import build_bev_sharded_rig
 
@@ -324,7 +325,7 @@ def main():
         attempts = [(args.batch, 0)]
     elif args.train:
         attempts = ([(2, 1), (1, 1)] if args.grid2x
-                    else [(8, 1), (8, 2), (4, 1), (2, 1), (1, 1)])
+                    else [(8, 1), (8, 2), (4, 1), (4, 2), (2, 1), (1, 1)])
     else:
         attempts = ([(8, 1), (4, 1), (2, 1), (1, 1)] if args.grid2x
                     else [(16, 1), (8, 1), (4, 1), (2, 1), (1, 1)])

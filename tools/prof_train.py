@@ -78,7 +78,7 @@ def main():
     calibs = make_calibrations(cfg, cfg.num_cam)
     g = make_grid(cfg.world_size, cfg.cube_size[:2], cfg.name)
     tile_v = args.tile_v or default_tile_v(cfg.num_layers, "pallas",
-                                           "window")
+                                           "window", dtype=dtype)
     rig = build_rig(calibs, cfg, g, pyramid_feat_shapes(cfg.resize_size),
                     tile_v=tile_v, dtype=dtype, layout="window",
                     band_buckets=args.buckets,

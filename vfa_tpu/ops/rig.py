@@ -79,19 +79,26 @@ def _round_up(x: int, m: int) -> int:
 
 
 def default_tile_v(nl: int, rig_impl: str = "pallas",
-                   layout: str = "window") -> int:
+                   layout: str = "window", dtype=None) -> int:
     """BEV-cells-per-tile that fits each kernel's VMEM budget.
 
     The window-layout builder enforces the Pallas VMEM band cap regardless
     of backend (so one rig serves both paths), which bounds tile_v; nl=8
     datasets (MultiviewX/Wildtrack) need the smallest tiles. The flat XLA
-    scan path has no VMEM constraint (256 = best MXU shape)."""
+    scan path has no VMEM constraint (256 = best MXU shape). fp32 features
+    double the per-tile window scratch (the band cap is dtype-aware,
+    _build_scale_window band_cap), so fp32 rigs halve the tile."""
+    fp32 = dtype is not None and np.dtype(dtype).itemsize >= 4
     if layout == "window":
         if nl > 5:
             # nl=8 pedestrian grids: (nl*tile_v, band) A tiles only fit the
-            # VMEM band cap with small tiles (measured: 128/96 infeasible)
-            return 64
-        return 160
+            # VMEM band cap with small tiles (measured: 128/96 infeasible;
+            # fp32 MultiviewX additionally rules out 32 — 24 builds for
+            # both MX and WT)
+            return 24 if fp32 else 64
+        # fp32 MC: 80 is infeasible (a single tile's window exceeds the
+        # halved cap — window area shrinks slower than tile_v); 64 builds
+        return 64 if fp32 else 160
     return 256 if rig_impl != "pallas" else 160
 
 
