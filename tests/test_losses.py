@@ -144,3 +144,58 @@ def test_loss2d_matches_torch(rng):
     npos = max(float(mask.sum()), 1.0)
     ref = float(l_yx.sum() / npos * 1.0 + l_hm * 5.0)
     assert float(total) == pytest.approx(ref, rel=1e-4)
+
+
+def test_sparse_rotation_loss_matches_dense(rng):
+    """The sparse CSL angle path (gather at object cells +
+    csl_angle_focal_loss_cells) reproduces the dense masked loss exactly —
+    including last-writer-wins when two objects share a cell and padded
+    (invalid) objects."""
+    import jax
+
+    from vfa_tpu.codec import encode_frame, gaussian_csl_labels, object_cells
+    from vfa_tpu.config import get_config
+    from vfa_tpu.data.synthetic import tiny_config
+    from vfa_tpu.losses import csl_angle_focal_loss_cells
+
+    cfg = tiny_config(get_config("MultiviewC"))
+    L, W = cfg.grid_shape
+    A = 24  # small angle_range keeps the dense map tiny
+    M = 6
+    loc = rng.uniform(0, min(cfg.world_size), (M, 3)).astype(np.float32)
+    loc[1] = loc[0]  # duplicate cell: dense scatter keeps the LAST writer
+    objects = {
+        "location": jnp.asarray(loc),
+        "valid": jnp.asarray([1, 1, 1, 1, 0, 0], np.float32),  # 2 padded
+        "dimension": jnp.asarray(
+            rng.uniform(50, 200, (M, 3)).astype(np.float32)),
+        "rotation": jnp.asarray(
+            rng.uniform(-np.pi, np.pi, M).astype(np.float32)),
+    }
+    heatmap = jnp.zeros((L, W), jnp.float32)
+    gt = encode_frame(objects, heatmap, cfg=cfg,
+                      dim_mean=jnp.asarray([145.0, 120.0, 255.0]),
+                      angle_range=A)
+    logits = jnp.asarray(rng.normal(0, 2, (1, L, W, A)).astype(np.float32))
+
+    dense = csl_angle_focal_loss(logits, gt["rotation"], gt["mask"])
+
+    rows, cols, owner = object_cells(objects, cfg)
+    pred_cells = logits[0][rows, cols][None]
+    gt_cells = gaussian_csl_labels(jnp.rad2deg(objects["rotation"]), A)[None]
+    sparse = csl_angle_focal_loss_cells(pred_cells, gt_cells, owner[None])
+
+    assert float(sparse) == pytest.approx(float(dense), rel=1e-6)
+
+    # gradients through the gather match the dense path's at every cell
+    def dense_fn(lg):
+        return csl_angle_focal_loss(lg, gt["rotation"], gt["mask"])
+
+    def sparse_fn(lg):
+        return csl_angle_focal_loss_cells(lg[0][rows, cols][None], gt_cells,
+                                          owner[None])
+
+    gd = jax.grad(dense_fn)(logits)
+    gs = jax.grad(sparse_fn)(logits)
+    np.testing.assert_allclose(np.asarray(gs), np.asarray(gd),
+                               rtol=1e-5, atol=1e-7)

@@ -28,8 +28,13 @@ def main():
     p.add_argument("--mode", type=str, default="train",
                    choices=["train", "infer"])
     p.add_argument("--data", type=str, default="MultiviewC")
-    p.add_argument("--buckets", type=int, default=8)
+    p.add_argument("--buckets", type=int, default=0,
+                   help="band buckets (0 = auto: 8, or 12 with --grid2x)")
     p.add_argument("--chunks", type=int, default=1)
+    p.add_argument("--grid2x", action="store_true",
+                   help="2x-voxel-resolution stretch config (325x325 BEV)")
+    p.add_argument("--remat", action="store_true",
+                   help="backbone remat (grid2x training needs it)")
     p.add_argument("--steps", type=int, default=3)
     p.add_argument("--top", type=int, default=30)
     p.add_argument("--trace_dir", type=str, default="",
@@ -57,6 +62,14 @@ def main():
         from vfa_tpu.utils import pad_objects
 
         cfg = get_config(args.data)
+        if args.grid2x:
+            import dataclasses
+
+            l, w, h = cfg.cube_size
+            cfg = dataclasses.replace(cfg, cube_size=(l // 2, w // 2, h))
+            print(f"# grid2x: BEV grid {cfg.grid_shape}", file=sys.stderr)
+        if not args.buckets:
+            args.buckets = 12 if args.grid2x else 8
         tcfg = TrainConfig(pretrained=False, compute_dtype=args.dtype)
         dtype = jnp.bfloat16 if args.dtype == "bfloat16" else jnp.float32
         dim_mean = (jnp.asarray([145.0, 120.0, 255.0])
@@ -64,10 +77,12 @@ def main():
         B = args.batch
 
         model = create_model(cfg, tcfg, rig_impl="pallas",
-                             backbone_chunks=args.chunks)
+                             backbone_chunks=args.chunks,
+                             backbone_remat=args.remat)
         calibs = make_calibrations(cfg, cfg.num_cam)
         g = make_grid(cfg.world_size, cfg.cube_size[:2], cfg.name)
-        tile_v = default_tile_v(cfg.num_layers, "pallas", "window")
+        tile_v = default_tile_v(cfg.num_layers, "pallas", "window",
+                                dtype=dtype)
         rig = build_rig(calibs, cfg, g, pyramid_feat_shapes(cfg.resize_size),
                         tile_v=tile_v, dtype=dtype, layout="window",
                         band_buckets=args.buckets,
@@ -90,10 +105,8 @@ def main():
         state, tx = init_state(
             model, cfg, tcfg, jax.random.PRNGKey(0), 100,
             {k: (v if k == "grid" else v[:1]) for k, v in batch.items()})
-        if args.dtype == "bfloat16":
-            state = jax.tree_util.tree_map(
-                lambda x: x.astype(jnp.bfloat16)
-                if x.dtype == jnp.float32 else x, state)
+        # mixed precision: fp32 master state, the step casts at use
+        # (matches train.py / bench.py --train since round 4)
         step = make_train_step(model, tx, cfg, tcfg, dim_mean=dim_mean)
 
         def once():

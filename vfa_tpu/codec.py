@@ -67,6 +67,7 @@ def encode_frame(
     dim_mean: Optional[jnp.ndarray] = None,
     angle_range: int = 360,
     angle_radius: float = 6.0,
+    dense_rotation: bool = True,
 ):
     """Encode one frame's padded gt objects into dense targets.
 
@@ -119,14 +120,50 @@ def encode_frame(
             jnp.zeros((L, W, 3), jnp.float32)
             .at[row, col].set(dim_off, mode="drop")[None]
         )
-        csl = gaussian_csl_labels(
-            jnp.rad2deg(objects["rotation"]), angle_range, angle_radius
-        )
-        out["rotation"] = (
-            jnp.zeros((L, W, angle_range), jnp.float32)
-            .at[row, col].set(csl, mode="drop")[None]
-        )
+        # dense_rotation=False skips scattering the (L, W, angle_range) CSL
+        # map — the train step evaluates the angle loss sparsely at the
+        # object cells instead (losses.csl_angle_focal_loss_cells)
+        if dense_rotation:
+            csl = gaussian_csl_labels(
+                jnp.rad2deg(objects["rotation"]), angle_range, angle_radius
+            )
+            out["rotation"] = (
+                jnp.zeros((L, W, angle_range), jnp.float32)
+                .at[row, col].set(csl, mode="drop")[None]
+            )
     return out
+
+
+def object_cells(objects, cfg: DatasetConfig):
+    """Grid cell (row, col) of each padded object + its 'owner' mask.
+
+    Same cell assignment as `encode_frame` (reference `encoder.py:152-165`,
+    including the Wildtrack index swap). `owner` marks objects that are
+    valid, land inside the grid, AND are not overwritten by a later valid
+    object on the same cell — exactly the cells where the dense encode's
+    last-writer-wins scatter leaves that object's targets. Lets losses
+    evaluate per-cell terms sparsely at the <= M positive cells instead of
+    over the full (L, W) map (the dense CSL focal loss is identically zero
+    off these cells; see losses.csl_angle_focal_loss_cells).
+    """
+    L, W = cfg.grid_shape
+    loc = _normalized_locations(objects["location"], cfg.world_size,
+                                cfg.grid_shape)
+    valid = objects["valid"] > 0
+    cx = jnp.floor(loc[:, 0]).astype(jnp.int32)
+    cy = jnp.floor(loc[:, 1]).astype(jnp.int32)
+    if cfg.name == "Wildtrack":
+        row, col = cx, cy
+    else:
+        row, col = cy, cx
+    inside = (row >= 0) & (row < L) & (col >= 0) & (col < W)
+    valid = valid & inside
+    key = row * W + col
+    M = key.shape[0]
+    same_later = ((key[None, :] == key[:, None]) & valid[None, :]
+                  & jnp.triu(jnp.ones((M, M), bool), k=1))
+    owner = valid & ~jnp.any(same_later, axis=1)
+    return jnp.clip(row, 0, L - 1), jnp.clip(col, 0, W - 1), owner
 
 
 def nms_heatmap(heatmap):

@@ -70,12 +70,52 @@ def csl_angle_focal_loss(pred_logits, gt, foreground, alpha=2.0, beta=4.0, eps=1
     return pos_loss + neg_loss
 
 
+def csl_angle_focal_loss_cells(pred_cells, gt_cells, owner,
+                               alpha=2.0, beta=4.0, eps=1e-5):
+    """`csl_angle_focal_loss` evaluated sparsely at the positive cells.
+
+    The dense CSL focal loss is masked by the foreground map, which is the
+    scatter of <= M object cells — every other cell contributes exactly 0,
+    yet the dense form still sweeps the full (B, L, W, A) logits in fp32
+    (a 150 MB map at the grid2x stretch config, several elementwise +
+    transcendental passes forward AND backward). Here the caller gathers
+    the M cells' logits first (codec.object_cells gives the indices and the
+    last-writer-wins `owner` mask), so the focal math runs over (B, M, A).
+    Same per-branch normalization; identical value to the dense form
+    (tests/test_losses.py pins sparse == dense).
+
+    pred_cells/gt_cells: (..., M, A) logits / CSL targets; owner: (..., M).
+    """
+    m = owner[..., None]
+    pred = jnp.clip(jax.nn.sigmoid(pred_cells), eps, 1.0 - eps)
+    pos = (gt_cells == 1.0) & m
+    neg = (gt_cells != 1.0) & m
+    posf = pos.astype(pred.dtype)
+    negf = neg.astype(pred.dtype)
+    n_pos = jnp.sum(posf)
+    n_neg = jnp.sum(negf)
+
+    pos_loss = -jnp.sum(((1.0 - pred) ** alpha) * jnp.log(pred) * posf)
+    neg_loss = -jnp.sum(((1.0 - gt_cells) ** beta) * (pred ** alpha)
+                        * jnp.log(1.0 - pred) * negf)
+
+    pos_loss = jnp.where(n_pos > 0, pos_loss / jnp.maximum(n_pos, 1.0), 0.0)
+    neg_loss = jnp.where(n_neg > 0, neg_loss / jnp.maximum(n_neg, 1.0), 0.0)
+    return pos_loss + neg_loss
+
+
 def compute_loss3d(
     pred: Dict[str, jnp.ndarray],
     gt: Dict[str, jnp.ndarray],
     loss_weight: Sequence[float] = (1.0, 1.0, 1.0, 1.0),
+    rotation_cells=None,
 ) -> Tuple[jnp.ndarray, Dict[str, jnp.ndarray]]:
-    """3D-mode loss (`loss.py:45-75`). Returns (total, loss_dict)."""
+    """3D-mode loss (`loss.py:45-75`). Returns (total, loss_dict).
+
+    rotation_cells: optional (pred_cells, gt_cells, owner) triple — the
+    rotation logits/targets pre-gathered at the positive cells (see
+    csl_angle_focal_loss_cells); when given, pred/gt need no dense
+    'rotation' entries."""
     hm_w, pos_w, dim_w, ang_w = loss_weight
     mask = jnp.moveaxis(gt["mask"], 1, -1)  # (B, 1, L, W) -> (B, L, W, 1)
 
@@ -83,7 +123,11 @@ def compute_loss3d(
     loss_hwl = smooth_l1(pred["dim_offset"], gt["dim_offset"]) * mask
 
     loss_heatmap = focal_loss(pred["heatmap"], gt["heatmap"])
-    loss_angle = csl_angle_focal_loss(pred["rotation"], gt["rotation"], gt["mask"])
+    if rotation_cells is not None:
+        loss_angle = csl_angle_focal_loss_cells(*rotation_cells)
+    else:
+        loss_angle = csl_angle_focal_loss(pred["rotation"], gt["rotation"],
+                                          gt["mask"])
 
     n_pos = jnp.maximum(jnp.sum(gt["mask"]), 1.0)
     loss_yx = jnp.sum(loss_yx) / n_pos

@@ -69,7 +69,7 @@ def _kernel(starts_ref, ii_hbm, a_ref, kr_ref, buf_ref, out_ref,
             dimension_numbers=(((1,), (0,)), ((), ())),
             preferred_element_type=jnp.float32,
         )
-    out_ref[0, 0, 0] = acc.astype(out_ref.dtype)
+    out_ref[0, 0] = acc.astype(out_ref.dtype)
 
 
 def _next_step(n, t, b, T, B):
@@ -188,7 +188,7 @@ def _kernel_win(starts_ref, ii_hbm, a_hbm, kr_ref, buf_ref, out_ref,
                 dimension_numbers=(((1,), (0,)), ((), ())),
                 preferred_element_type=jnp.float32,
             )
-        out_ref[0, s, 0] = acc.astype(out_ref.dtype)
+        out_ref[0, s] = acc.astype(out_ref.dtype)
 
 
 def _bwd_kernel_win_pipe(starts_ref, ii_hbm, a_hbm, kr_ref, g_ref, dii_in_hbm,
@@ -306,7 +306,7 @@ def _bwd_kernel_win_pipe(starts_ref, ii_hbm, a_hbm, kr_ref, g_ref, dii_in_hbm,
     # only tile_v x n_out
     a_t = a_buf[a_sl]                                    # (rows, wh*ww)
     for s in range(S):
-        g = g_ref[0, s, 0]                               # (tile_v, n_out)
+        g = g_ref[0, s]                                  # (tile_v, n_out)
         window = band_buf[slot, s].reshape(wh * ww, C)
         vox = jax.lax.dot_general(
             a_t, window,
@@ -386,7 +386,7 @@ def _bwd_kernel_win(starts_ref, ii_hbm, a_hbm, kr_ref, g_ref, dii_in_hbm,
         dii_hbm.at[n, b, pl.ds(ry, wh), pl.ds(rx, ww), :], dband_buf, dsem)
     rd.start()
 
-    g = g_ref[0, 0, 0]                                   # (tile_v, n_out)
+    g = g_ref[0, 0]                                      # (tile_v, n_out)
     cp_in.wait()
 
     @pl.when(b == 0)
@@ -470,7 +470,7 @@ def _bwd_kernel(starts_ref, ii_hbm, a_ref, kr_ref, g_ref, dii_in_hbm,
         dii_hbm.at[n, b, pl.ds(start, band), :], dband_buf, dsem)
     rd.start()
 
-    g = g_ref[0, 0, 0]                                   # (tile_v, n_out)
+    g = g_ref[0, 0]                                      # (tile_v, n_out)
     cp_in.wait()
 
     dband = jnp.zeros((band, C), jnp.float32)
@@ -603,11 +603,15 @@ def _bucket_fwd_call(starts, ii, A_b, Kr, buf, *, N, T, B, nl, tile_v, band,
             pltpu.SemaphoreType.DMA((a_slots,)),
             pltpu.SemaphoreType.DMA((2, S)),
         ]
-        # tiles are written DIRECTLY in scene-major (N, B, off_t + t, ...)
-        # position in the shared buffer via the index_map: the old
-        # (N, T, B, ...) layout needed a full jnp.transpose copy of every
+        # tiles are written DIRECTLY in scene-major (N, B, (off_t + t) *
+        # tile_v, ...) position in the shared buffer via the index_map: the
+        # old (N, T, B, ...) layout needed a full jnp.transpose copy of every
         # bucket's tiles (a 2.8 GB HBM round trip per scale at MultiviewC
-        # batch 16) before a full-size bucket concat copy
+        # batch 16) before a full-size bucket concat copy. The buffer's row
+        # axis is pre-flattened to T_total*tile_v (block coord off_t + t on
+        # block size tile_v): a separate 5-D buffer needed a (T, tile_v) ->
+        # rows reshape in the epilogue that XLA materialized as a full copy
+        # (11 ms/scene at the grid2x stretch config).
         grid_spec = pltpu.PrefetchScalarGridSpec(
             num_scalar_prefetch=1,
             grid=(N, T, B // S),
@@ -617,8 +621,8 @@ def _bucket_fwd_call(starts, ii, A_b, Kr, buf, *, N, T, B, nl, tile_v, band,
                 pl.BlockSpec(memory_space=pltpu.VMEM),      # Kr
             ] + buf_in_specs,
             out_specs=pl.BlockSpec(
-                (1, S, 1, tile_v, n_out),
-                lambda n, t, b, *_: (n, b, off_t + t, 0, 0),
+                (1, S, tile_v, n_out),
+                lambda n, t, b, *_: (n, b, off_t + t, 0),
                 memory_space=pltpu.VMEM),
             scratch_shapes=scratches,
         )
@@ -647,8 +651,8 @@ def _bucket_fwd_call(starts, ii, A_b, Kr, buf, *, N, T, B, nl, tile_v, band,
             pl.BlockSpec(memory_space=pltpu.VMEM),          # Kr
         ] + buf_in_specs,
         out_specs=pl.BlockSpec(
-            (1, 1, 1, tile_v, n_out),
-            lambda n, t, b, *_: (n, b, off_t + t, 0, 0),
+            (1, 1, tile_v, n_out),
+            lambda n, t, b, *_: (n, b, off_t + t, 0),
             memory_space=pltpu.VMEM),
         scratch_shapes=scratches,
     )
@@ -745,19 +749,19 @@ def _bucket_bwd_call(starts, ii, A_b, Kr, g, dii_init, *, N, T, B, nl, tile_v,
                 pltpu.SemaphoreType.DMA(()),
                 pltpu.SemaphoreType.DMA(()),
             ]
-    # g is the whole scale's (N, B, T_total, tile_v, n_out) cotangent in the
+    # g is the whole scale's (N, B, T_total*tile_v, n_out) cotangent in the
     # forward's scene-major layout; this bucket reads its tile range via the
     # off_t block offset (S-packed kernels take S scenes per block)
     S_pack = getattr(kernel, "keywords", {}).get("S")
     if S_pack:
         grid_b = B // S_pack
-        g_spec = pl.BlockSpec((1, S_pack, 1, tile_v, n_out),
-                              lambda n, t, b, *_: (n, b, off_t + t, 0, 0),
+        g_spec = pl.BlockSpec((1, S_pack, tile_v, n_out),
+                              lambda n, t, b, *_: (n, b, off_t + t, 0),
                               memory_space=pltpu.VMEM)
     else:
         grid_b = B
-        g_spec = pl.BlockSpec((1, 1, 1, tile_v, n_out),
-                              lambda n, t, b, *_: (n, b, off_t + t, 0, 0),
+        g_spec = pl.BlockSpec((1, 1, tile_v, n_out),
+                              lambda n, t, b, *_: (n, b, off_t + t, 0),
                               memory_space=pltpu.VMEM)
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
@@ -797,8 +801,9 @@ def _bucket_bwd_call(starts, ii, A_b, Kr, g, dii_init, *, N, T, B, nl, tile_v,
 
 def _make_scale_op(*, N, B, nl, tile_v, C, n_out, interpret, buckets):
     """custom-VJP'd per-SCALE sampling op:
-    (starts_all, ii, A_all, Kr) -> ONE (N, B, T_total, tile_v, n_out) tiles
-    buffer in the FEATURE dtype, all buckets pre-concatenated.
+    (starts_all, ii, A_all, Kr) -> ONE (N, B, T_total*tile_v, n_out) tiles
+    buffer in the FEATURE dtype, all buckets pre-concatenated with the row
+    axis already flat (ready for the inv_perm gather, no reshape copy).
 
     `buckets` is a static tuple of (T, band, window) per band bucket. The
     bwd is the hand-written transposed-banded-matmul kernel above. One VJP
@@ -824,7 +829,7 @@ def _make_scale_op(*, N, B, nl, tile_v, C, n_out, interpret, buckets):
         offs.append(off)
         off += T
 
-    buf_shape = (N, B, T_total, tile_v, n_out)
+    buf_shape = (N, B, T_total * tile_v, n_out)
 
     @jax.custom_vjp
     def op(starts_all, ii, A_all, Kr):
@@ -888,13 +893,19 @@ def _bev_unpermute_fwd(tiles, inv_perm):
 def _bev_unpermute_bwd(res, g):
     inv_perm, rows = res
     n_cam, v2d = inv_perm.shape
-    # invert the permutation on the fly: tiny (N, rows) int32 scatter;
-    # unused (pad) rows keep index v2d == one-past-the-end -> OOB fill 0
-    fwd = jnp.full((n_cam, rows), v2d, jnp.int32)
+    # invert the permutation on the fly: tiny (N, rows) int32 scatter.
+    # Unused (pad) rows keep index 0 — their cotangent is then a stale copy
+    # of cell 0's, NOT zero, which is correct-by-construction: pad tile rows
+    # correspond to A rows that are all-zero (no raster entries), so every
+    # downstream product (dKr's vox rows, dII's A^T columns) vanishes
+    # regardless of the pad cotangent value. An OOB fill-with-0 gather
+    # (mode="fill") spent a full extra select_n sweep over the buffer
+    # (7 ms/scene at the grid2x stretch config) buying nothing.
+    fwd = jnp.zeros((n_cam, rows), jnp.int32)
     fwd = fwd.at[jnp.arange(n_cam)[:, None], inv_perm].set(
         jnp.broadcast_to(jnp.arange(v2d, dtype=jnp.int32), (n_cam, v2d)))
-    dt = jax.vmap(lambda g_n, f_n: jnp.take(g_n, f_n, axis=1, mode="fill",
-                                            fill_value=0))(g, fwd)
+    dt = jax.vmap(lambda g_n, f_n: jnp.take(g_n, f_n, axis=1,
+                                            mode="clip"))(g, fwd)
     import numpy as np
 
     return dt, np.zeros(inv_perm.shape, dtype=jax.dtypes.float0)
@@ -954,19 +965,18 @@ def rig_sample_scale_pallas(lat, rig: ScaleRig, collapse_kernel, collapse_bias,
 
     op = _make_scale_op(N=N, B=B, nl=nl, tile_v=tile_v, C=C, n_out=n_out,
                         interpret=interpret, buckets=buckets)
-    tiles = op(starts_all, ii, tuple(rig.A), Kr)  # (N, B, T_tot, tv, n_out)
+    tiles = op(starts_all, ii, tuple(rig.A), Kr)  # (N, B, rows, n_out)
 
-    # tiles come out of the kernels already scene-major AND bucket-
-    # concatenated (each bucket writes its tile range of the shared buffer
-    # in place — see _bucket_fwd_call), so this reshape is layout-free. The
+    # tiles come out of the kernels already scene-major, bucket-concatenated
+    # AND row-flat (each bucket writes its tile range of the shared buffer
+    # in place — see _bucket_fwd_call), so no reshape copy exists. The
     # inv_perm gather runs BEFORE the bias+relu: they commute (bias is
     # per-channel, the permutation per-cell), and this order lets XLA fuse
     # relu(x + bias) into the caller's camera-sum reduce instead of
     # materializing a second full (N, B, V2d, n_out) temp. The bias add
     # stays in the tiles dtype — casting it to fp32 would promote the whole
     # gather output back to fp32 and undo the bf16 traffic halving.
-    out = tiles.reshape(N, B, tiles.shape[2] * tile_v, n_out)
-    out = _bev_unpermute(out, rig.inv_perm)             # (N, B, V2d, n_out)
+    out = _bev_unpermute(tiles, rig.inv_perm)           # (N, B, V2d, n_out)
     out = jax.nn.relu(out + collapse_bias.astype(out.dtype))
     if camera_sum:
         # fold the cross-camera reduction into the epilogue: XLA fuses

@@ -24,7 +24,7 @@ import jax.numpy as jnp
 import numpy as np
 import optax
 
-from vfa_tpu.codec import encode_frame
+from vfa_tpu.codec import encode_frame, gaussian_csl_labels, object_cells
 from vfa_tpu.config import DatasetConfig, TrainConfig
 from vfa_tpu.losses import compute_loss2d, compute_loss3d
 from vfa_tpu.model import VFANet
@@ -201,17 +201,37 @@ def init_state(
 
 
 def encode_targets(batch: Dict[str, jnp.ndarray], cfg: DatasetConfig,
-                   dim_mean, angle_range: int):
+                   dim_mean, angle_range: int, dense_rotation: bool = True):
     """vmap the per-frame encoder over the scene batch; squeeze the encoder's
     per-frame leading 1 so targets are (B, ...)."""
     def enc(objects, heatmap):
         kw = {"dim_mean": dim_mean} if cfg.mode == "3D" else {}
-        return encode_frame(objects, heatmap, cfg=cfg, angle_range=angle_range, **kw)
+        return encode_frame(objects, heatmap, cfg=cfg, angle_range=angle_range,
+                            dense_rotation=dense_rotation, **kw)
 
     objects = {k: batch[k] for k in
                ("location", "valid", "dimension", "rotation") if k in batch}
     enc_b = jax.vmap(enc)(objects, batch["heatmap"])
     return {k: v[:, 0] for k, v in enc_b.items()}  # drop per-frame dim -> (B, ...)
+
+
+def gather_rotation_cells(pred_rotation, batch, cfg: DatasetConfig,
+                          angle_range: int):
+    """(pred_cells, gt_cells, owner) for the sparse CSL angle loss.
+
+    Gathers the rotation head's logits at the <= M object cells (the only
+    cells where the dense `csl_angle_focal_loss` is nonzero) and builds the
+    matching CSL targets directly — no (B, L, W, angle_range) scatter, no
+    full-map fp32 focal sweep. pred_rotation: (B, L, W, A) in the compute
+    dtype; the gathered (B, M, A) slice is cast to fp32 here (the bf16
+    sigmoid-saturation hazard applies to the loss math, not the gather)."""
+    objects = {k: batch[k] for k in ("location", "valid") if k in batch}
+    rows, cols, owner = jax.vmap(
+        functools.partial(object_cells, cfg=cfg))(objects)
+    B = pred_rotation.shape[0]
+    pred_cells = pred_rotation[jnp.arange(B)[:, None], rows, cols]
+    gt_cells = gaussian_csl_labels(jnp.rad2deg(batch["rotation"]), angle_range)
+    return pred_cells.astype(jnp.float32), gt_cells, owner
 
 
 def make_train_step(model: VFANet, tx, cfg: DatasetConfig, tcfg: TrainConfig,
@@ -249,12 +269,21 @@ def make_train_step(model: VFANet, tx, cfg: DatasetConfig, tcfg: TrainConfig,
             batch["images"], batch["calibs"], batch["grid"],
             train=True, rig=rig, mutable=["batch_stats"],
         )
+        # the rotation head's loss is evaluated sparsely at the object
+        # cells, so its (B, L, W, angle) map never needs the fp32 cast or
+        # the dense CSL target scatter (gather_rotation_cells)
+        rotation_cells = None
+        if cfg.mode == "3D":
+            rotation_cells = gather_rotation_cells(
+                pred.pop("rotation"), batch, cfg, model.angle_range)
         # losses in fp32: bf16 sigmoids saturate to exactly 1 and the focal
         # log(1 - p) returns -inf
         pred = {k: v.astype(jnp.float32) for k, v in pred.items()}
-        gt = encode_targets(batch, cfg, dim_mean, model.angle_range)
+        gt = encode_targets(batch, cfg, dim_mean, model.angle_range,
+                            dense_rotation=False)
         if cfg.mode == "3D":
-            loss, loss_dict = loss_fn3(pred, gt)
+            loss, loss_dict = loss_fn3(pred, gt,
+                                       rotation_cells=rotation_cells)
         else:
             loss, loss_dict = loss_fn2(pred, gt)
         # running BN stats live fp32 alongside the master params
