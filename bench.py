@@ -324,7 +324,7 @@ def main():
     if args.batch:
         attempts = [(args.batch, 0)]
     elif args.train:
-        attempts = ([(2, 1), (2, 2), (1, 1)] if args.grid2x
+        attempts = ([(4, 2), (2, 1), (2, 2), (1, 1)] if args.grid2x
                     else [(8, 1), (8, 2), (4, 1), (4, 2), (2, 1), (1, 1)])
     else:
         attempts = ([(8, 1), (4, 1), (2, 1), (1, 1)] if args.grid2x
