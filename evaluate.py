@@ -54,14 +54,14 @@ def parse_args():
     p.add_argument("--synthetic", action="store_true")
     p.add_argument("--synthetic_frames", type=int, default=8)
     p.add_argument("--tiny", action="store_true")
-    p.add_argument("--rig", action="store_true",
-                   help="use the compiled-rig fast sampling path (fixed "
-                        "calibrations; ~20x faster on TPU)")
-    p.add_argument("--rig_impl", type=str, default="xla",
-                   choices=["xla", "pallas"])
-    p.add_argument("--rig_layout", type=str, default="window",
-                   choices=["flat", "window"])
-    p.add_argument("--rig_buckets", type=int, default=8)
+    p.add_argument("--dtype", type=str, default="float32",
+                   choices=["float32", "bfloat16"],
+                   help="compute dtype; float32 is the reference-parity "
+                        "default, bfloat16 is the fast TPU recipe "
+                        "(bench.py's 72 scenes/sec)")
+    from vfa_tpu.rig_cli import add_rig_args
+
+    add_rig_args(p, training=False)
     return p.parse_args()
 
 
@@ -86,7 +86,8 @@ def main():
         cfg = dataclasses.replace(cfg, root=args.root)
     if args.tiny:
         cfg = tiny_config(cfg)
-    tcfg = TrainConfig(pretrained=False, topk=args.topk)
+    tcfg = TrainConfig(pretrained=False, topk=args.topk,
+                       compute_dtype=args.dtype)
 
     # ------------------------------------------------------------ data ----
     if args.synthetic:
@@ -106,7 +107,10 @@ def main():
         dim_mean = ds.dim_mean
 
     # ----------------------------------------------------------- model ----
-    model = create_model(cfg, tcfg, rig_impl=args.rig_impl)
+    from vfa_tpu.rig_cli import build_cli_rig, resolve_rig_impl
+
+    rig_impl = resolve_rig_impl(args.rig_impl)
+    model = create_model(cfg, tcfg, rig_impl=rig_impl)
     sample = next(iter(loader))
     batch0 = {k: jnp.asarray(v) for k, v in sample.items()
               if k not in ("objects", "index", "frame")}
@@ -130,21 +134,11 @@ def main():
     else:
         print("WARNING: evaluating a randomly initialized model")
 
-    rig = None
-    if args.rig:
-        from vfa_tpu.geometry import make_grid
-        from vfa_tpu.ops.rig import build_rig, default_tile_v, pyramid_feat_shapes
-
-        calibs0 = np.asarray(sample["calibs"][0])
-        rig = build_rig(
-            calibs0, cfg, make_grid(cfg.world_size, cfg.cube_size[:2], cfg.name),
-            pyramid_feat_shapes(cfg.resize_size),
-            tile_v=default_tile_v(cfg.num_layers, args.rig_impl,
-                                  args.rig_layout),
-            layout=args.rig_layout, band_buckets=args.rig_buckets,
-            cache_dir=os.path.expanduser("~/.cache/vfa_tpu_rig"),
-        )
-        print("compiled-rig sampling enabled")
+    # compiled-rig fast sampling is the DEFAULT (calibrations are rig
+    # constants on all three datasets); --no_rig falls back to the
+    # dynamic-gather reference formulation
+    rig = build_cli_rig(args, cfg, sample["calibs"][0],
+                        dtype=args.dtype, training=False, rig_impl=rig_impl)
 
     forward = make_forward(model)
     encoder = ObjectEncoder(cfg, dim_mean=dim_mean, topk=args.topk)

@@ -39,6 +39,9 @@ def parse_args():
     p.add_argument("--out", type=str, default="prediction.png")
     p.add_argument("--synthetic", action="store_true")
     p.add_argument("--tiny", action="store_true")
+    from vfa_tpu.rig_cli import add_rig_args
+
+    add_rig_args(p, training=False)
     return p.parse_args()
 
 
@@ -84,7 +87,10 @@ def main():
         if ds.dim_mean is not None:
             dim_mean = ds.dim_mean
 
-    model = create_model(cfg, tcfg)
+    from vfa_tpu.rig_cli import build_cli_rig, resolve_rig_impl
+
+    rig_impl = resolve_rig_impl(args.rig_impl)
+    model = create_model(cfg, tcfg, rig_impl=rig_impl)
     ji, jc, jg = jnp.asarray(images), jnp.asarray(calibs), jnp.asarray(grid)
     batch0 = {"images": ji[None], "calibs": jc[None], "grid": jg}
     state, _ = init_state(model, cfg, tcfg, jax.random.PRNGKey(0), 1, batch0)
@@ -96,8 +102,14 @@ def main():
     else:
         print("WARNING: predicting with a randomly initialized model")
 
+    # compiled-rig fast sampling is the DEFAULT (calibrations are rig
+    # constants on all three datasets); --no_rig falls back to the
+    # dynamic-gather reference formulation
+    rig = build_cli_rig(args, cfg, calibs, dtype="float32",
+                        training=False, rig_impl=rig_impl)
+
     forward = make_forward(model)
-    pred = forward(state.params, state.batch_stats, ji, jc, jg)
+    pred = forward(state.params, state.batch_stats, ji, jc, jg, rig)
     encoder = ObjectEncoder(cfg, dim_mean=dim_mean)
     dets = encoder.batch_decode(pred, args.cls_thresh)
     print(f"{len(dets)} detections above conf {args.cls_thresh}")

@@ -44,6 +44,8 @@ def test_train_cli_smoke(tmp_path):
         "-e", "1", "--pretrained", "0", "--savedir", str(tmp_path),
         "--vis_iter", "0",
     ])
+    # the compiled-rig fast path is the product DEFAULT (fixed calibrations)
+    assert "compiled-rig sampling enabled" in proc.stdout
     assert "[VAL] epoch 1" in proc.stdout
     assert "saved checkpoint" in proc.stdout
     # the checkpoint directory must exist under the experiment dir
@@ -57,6 +59,10 @@ def test_evaluate_cli_smoke(tmp_path):
         "evaluate.py", "--data", "MultiviewC", "--synthetic", "--tiny",
         "--out_dir", str(out),
     ])
+    # the compiled-rig fast path is the product DEFAULT: a user typing the
+    # reference-surface command gets the benched formulation, not the
+    # dynamic-gather fallback
+    assert "compiled-rig sampling enabled" in proc.stdout
     # the 4 txt artifacts of the reference eval loop
     # (`/root/reference/evaluate.py:177-198`)
     names = sorted(p.name for p in out.iterdir())
@@ -65,14 +71,26 @@ def test_evaluate_cli_smoke(tmp_path):
         assert n.endswith(".txt")
 
 
+def test_evaluate_cli_no_rig_smoke(tmp_path):
+    """--no_rig escape hatch (dynamic/per-frame calibrations) still runs the
+    reference-semantics gather path end to end."""
+    out = tmp_path / "eval"
+    proc = _run([
+        "evaluate.py", "--data", "MultiviewC", "--synthetic", "--tiny",
+        "--no_rig", "--out_dir", str(out),
+    ])
+    assert "compiled-rig sampling enabled" not in proc.stdout
+    assert len([p for p in out.iterdir() if p.name.endswith(".txt")]) == 4
+
+
 def test_evaluate_cli_rig_pallas_smoke(tmp_path):
-    """The shipping sampling path (--rig --rig_impl pallas) through the eval
-    CLI: on CPU the Pallas kernels run in interpret mode, so this covers the
+    """The shipping sampling path (--rig_impl pallas) through the eval CLI:
+    on CPU the Pallas kernels run in interpret mode, so this covers the
     kernel call surface + rig build + eval artifacts end to end."""
     out = tmp_path / "eval"
     _run([
         "evaluate.py", "--data", "MultiviewC", "--synthetic", "--tiny",
-        "--rig", "--rig_impl", "pallas", "--out_dir", str(out),
+        "--rig_impl", "pallas", "--out_dir", str(out),
     ])
     assert len([p for p in out.iterdir() if p.name.endswith(".txt")]) == 4
 

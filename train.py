@@ -90,19 +90,9 @@ def parse_args():
                    help="capture a jax.profiler trace at this global step")
     p.add_argument("--debug_nans", action="store_true",
                    help="fail fast on NaNs in jitted computations")
-    p.add_argument("--rig", action="store_true",
-                   help="train through the compiled-rig sampling path "
-                        "(fixed calibrations)")
-    p.add_argument("--rig_impl", type=str, default="xla",
-                   choices=["xla", "pallas"],
-                   help="rig sampling backend; 'pallas' runs the fused "
-                        "kernel with its hand-written VJP for both "
-                        "training and eval")
-    p.add_argument("--rig_layout", type=str, default="window",
-                   choices=["flat", "window"],
-                   help="rig band layout (window: compact 2D image windows)")
-    p.add_argument("--rig_buckets", type=int, default=8,
-                   help="max band-width buckets (DP-optimal edges)")
+    from vfa_tpu.rig_cli import add_rig_args
+
+    add_rig_args(p, training=True)
     # Multi-host (SURVEY §2.9): one JAX process per host; data axis spans
     # hosts over DCN, cam axis stays on ICI. Single-process (the default
     # --num_processes 1) is the tested degenerate path.
@@ -231,7 +221,10 @@ def main():
 
     train_loader, val_loader, dim_mean = make_loaders(cfg, args)
     steps_per_epoch = max(1, len(train_loader))
-    model = create_model(cfg, tcfg, rig_impl=args.rig_impl)
+    from vfa_tpu.rig_cli import build_cli_rig, resolve_rig_impl
+
+    rig_impl = resolve_rig_impl(args.rig_impl)
+    model = create_model(cfg, tcfg, rig_impl=rig_impl)
 
     sample = next(iter(train_loader))
     batch0 = {k: jnp.asarray(v) for k, v in sample.items()
@@ -264,23 +257,12 @@ def main():
             start_epoch = ep + 1
             print(f"resumed from {ckpt} at epoch {start_epoch}")
 
-    rig = None
-    if args.rig:
-        from vfa_tpu.geometry import make_grid
-        from vfa_tpu.ops.rig import build_rig, pyramid_feat_shapes
-
-        from vfa_tpu.ops.rig import default_tile_v
-
-        rig = build_rig(
-            np.asarray(sample["calibs"][0]), cfg,
-            make_grid(cfg.world_size, cfg.cube_size[:2], cfg.name),
-            pyramid_feat_shapes(cfg.resize_size),
-            tile_v=default_tile_v(cfg.num_layers, args.rig_impl,
-                                  args.rig_layout),
-            layout=args.rig_layout, band_buckets=args.rig_buckets,
-            cache_dir=os.path.expanduser("~/.cache/vfa_tpu_rig"),
-        )
-        print("compiled-rig sampling enabled")
+    # compiled-rig fast sampling is the DEFAULT (calibrations are rig
+    # constants on all three datasets); --no_rig falls back to the
+    # dynamic-gather reference formulation
+    rig = build_cli_rig(args, cfg, sample["calibs"][0],
+                        dtype=tcfg.compute_dtype, training=True,
+                        rig_impl=rig_impl)
 
     if tcfg.compute_dtype == "bfloat16":
         # Mixed precision: params + optimizer momentum stay fp32 MASTER

@@ -578,6 +578,16 @@ def _build_scale_window(calibs, cfg, grid, feat_hw, crange, tile_v,
     return A_buckets, starts_buckets, list(zip(wh_b, ww_b)), inv_perm, nl
 
 
+def _cache_a_repr(a_fp32: np.ndarray, dtype) -> np.ndarray:
+    """npz-storable form of an A bucket: bf16 as its uint16 bit pattern
+    (npz has no native bf16), fp32 stored directly."""
+    if dtype == jnp.bfloat16:
+        import ml_dtypes
+
+        return a_fp32.astype(ml_dtypes.bfloat16).view(np.uint16)
+    return np.asarray(a_fp32, np.float32)
+
+
 def build_rig(
     calibs: np.ndarray,
     cfg: DatasetConfig,
@@ -609,7 +619,7 @@ def build_rig(
     V2d = L * W
 
     cache_path = None
-    if cache_dir is not None and dtype == jnp.bfloat16:
+    if cache_dir is not None and dtype in (jnp.bfloat16, jnp.float32):
         key = hashlib.sha1(
             np.ascontiguousarray(calibs, np.float64).tobytes()
             + np.ascontiguousarray(grid, np.float32).tobytes()
@@ -627,9 +637,12 @@ def build_rig(
             scales = []
             for i, (fh, fw) in enumerate(feat_shapes):
                 nb = int(z[f"nb{i}"])
-                # A stored as the uint16 bit pattern of its bf16 values
-                a = tuple(jnp.asarray(z[f"A{i}_{b}"].view(ml_dtypes.bfloat16))
-                          for b in range(nb))
+                # bf16 A is stored as its uint16 bit pattern (npz has no
+                # native bf16); fp32 A is stored directly
+                a = tuple(jnp.asarray(
+                    z[f"A{i}_{b}"].view(ml_dtypes.bfloat16)
+                    if z[f"A{i}_{b}"].dtype == np.uint16
+                    else z[f"A{i}_{b}"]) for b in range(nb))
                 st = tuple(jnp.asarray(z[f"s{i}_{b}"]) for b in range(nb))
                 win = (tuple(tuple(int(x) for x in z[f"w{i}_{b}"])
                              for b in range(nb))
@@ -661,12 +674,9 @@ def build_rig(
             total_a_bytes += sum(
                 a.size * (2 if dtype == jnp.bfloat16 else 4) for a in A_bk)
             if cache_path:
-                import ml_dtypes
-
                 saved[f"nb{si}"] = len(A_bk)
                 for b in range(len(A_bk)):
-                    saved[f"A{si}_{b}"] = A_bk[b].astype(
-                        ml_dtypes.bfloat16).view(np.uint16)
+                    saved[f"A{si}_{b}"] = _cache_a_repr(A_bk[b], dtype)
                     saved[f"s{si}_{b}"] = s_bk[b]
                     saved[f"w{si}_{b}"] = np.asarray(win_hw[b], np.int64)
                 saved[f"p{si}"] = inv_perm
@@ -816,13 +826,9 @@ def build_rig(
         total_a_bytes += sum(
             a.size * (2 if dtype == jnp.bfloat16 else 4) for a in A_buckets)
         if cache_path:
-            import ml_dtypes
-
-            # store the bf16 bit pattern (npz has no native bf16)
             saved[f"nb{si}"] = nb
             for b in range(nb):
-                saved[f"A{si}_{b}"] = A_buckets[b].astype(
-                    ml_dtypes.bfloat16).view(np.uint16)
+                saved[f"A{si}_{b}"] = _cache_a_repr(A_buckets[b], dtype)
                 saved[f"s{si}_{b}"] = starts_buckets[b]
             saved[f"p{si}"] = inv_perm
             saved[f"nl{si}"] = nl
