@@ -277,3 +277,58 @@ def test_ap_aos_golden_fixture_matches_reference():
     # this fixture); curve values match to fp32 accumulation error
     np.testing.assert_allclose([got[i] for i in range(9)],
                                [golden[n] for n in names], rtol=2e-5)
+
+
+def test_all_matches_equals_per_frame_property():
+    """Randomized property: the single-jit padded `all_matches` sweep must
+    reproduce per-frame `frame_matches` rows exactly, across ~200 frames of
+    varying (P, G) — including empty frames — with heavy confidence ties
+    (the stable sort's tie-break rides on row order, so any padding or
+    ordering regression shows up in the final AP/AOS too)."""
+    from vfa_tpu.eval.apaos import all_matches
+
+    rng = np.random.default_rng(20260820)
+    sizes = np.array([0, 1, 2, 3, 5, 8])  # few distinct shapes: per-frame
+    F = 200                                # path compiles one jit per (P,G)
+    det_frames, gt_frames = [], []
+    for _ in range(F):
+        G = int(rng.choice(sizes))
+        gts = np.zeros((G, 7))
+        gts[:, 0:2] = rng.uniform(0, 800, (G, 2))   # x y
+        gts[:, 3:6] = rng.uniform(20, 200, (G, 3))  # l w h
+        gts[:, 6] = rng.uniform(-np.pi, np.pi, G)
+        P = int(rng.choice(sizes))
+        preds = np.zeros((P, 8))
+        if G and P:
+            # perturb random gts so matches occur at every IoU tier
+            src = gts[rng.integers(0, G, P)]
+            preds[:, :7] = src + np.concatenate(
+                [rng.normal(0, 30, (P, 3)), rng.normal(0, 20, (P, 3)),
+                 rng.normal(0, 0.6, (P, 1))], axis=1)
+        else:
+            preds[:, 0:2] = rng.uniform(0, 800, (P, 2))
+            preds[:, 3:6] = rng.uniform(20, 200, (P, 3))
+            preds[:, 6] = rng.uniform(-np.pi, np.pi, P)
+        # confidences from a coarse grid: many exact ties across frames
+        preds[:, 7] = rng.choice(np.round(np.linspace(0.1, 1.0, 10), 1), P)
+        det_frames.append(preds)
+        gt_frames.append(gts)
+
+    threshs = (0.75, 0.5, 0.25)
+    batched = all_matches(det_frames, gt_frames, threshs)
+    total_gt = sum(len(g) for g in gt_frames)
+    n_tp = 0
+    for thresh in threshs:
+        ref_rows = np.concatenate(
+            [frame_matches(p, g, thresh)
+             for p, g in zip(det_frames, gt_frames)], axis=0)
+        got = batched[thresh]
+        assert got.shape == ref_rows.shape
+        np.testing.assert_array_equal(got[:, 0], ref_rows[:, 0])  # conf
+        np.testing.assert_array_equal(got[:, 1], ref_rows[:, 1])  # tp flag
+        np.testing.assert_allclose(got[:, 2], ref_rows[:, 2], atol=1e-6)
+        np.testing.assert_allclose(
+            ap_aos_sweep(got, total_gt), ap_aos_sweep(ref_rows, total_gt),
+            rtol=1e-12)
+        n_tp += int(got[:, 1].sum())
+    assert n_tp > 100  # the fixture must actually exercise matches
