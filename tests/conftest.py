@@ -31,3 +31,10 @@ def pytest_configure(config):
         "slow: heavy integration tests (CLI subprocess smokes, full-scale "
         "rig/parity runs); deselect with -m 'not slow' for quick iteration",
     )
+    config.addinivalue_line(
+        "markers",
+        "medium: multi-step numerical-equivalence tests (sharded-vs-single "
+        "train steps, mixed-precision curves, chunked/remat equivalence) — "
+        "30s-2min each on this host; the quick dev loop is "
+        "-m 'not slow and not medium' (<5 min), CI runs everything",
+    )

@@ -125,3 +125,49 @@ def test_loader_wiring_train_only():
     b2 = next(iter(SyntheticSceneLoader(cfg, num_frames=2, seed=3,
                                         augment=ColorJitterAugment())))
     np.testing.assert_array_equal(b1["images"], b2["images"])
+
+
+def test_device_color_jitter_matches_host():
+    """The on-device (jnp) ColorJitter must reproduce the host numpy path
+    given the same factors and op order — all 6 permutations covered."""
+    from vfa_tpu.data.augment import (_PERMS3, adjust_brightness,
+                                      adjust_contrast, adjust_hue,
+                                      device_color_jitter)
+
+    rng = np.random.default_rng(7)
+    n = 12  # 2 images per permutation
+    images = rng.random((n, 17, 23, 3)).astype(np.float32)
+    factors = np.stack([
+        rng.uniform(0.8, 1.2, n), rng.uniform(0.8, 1.2, n),
+        rng.uniform(-0.2, 0.2, n)], -1).astype(np.float32)
+    order = np.arange(n, dtype=np.int32) % len(_PERMS3)
+
+    host_ops = (adjust_brightness, adjust_contrast, adjust_hue)
+    want = np.stack([
+        _apply(images[i], factors[i], _PERMS3[order[i]], host_ops)
+        for i in range(n)])
+
+    import jax.numpy as jnp
+
+    got = np.asarray(device_color_jitter(
+        jnp.asarray(images), jnp.asarray(factors), jnp.asarray(order)))
+    np.testing.assert_allclose(got, want, atol=2e-6)
+
+
+def _apply(img, f, perm, host_ops):
+    fac = (f[0], f[1], f[2])
+    for j in perm:
+        img = host_ops[j](img, fac[j])
+    return img
+
+
+def test_sample_jitter_params_ranges():
+    from vfa_tpu.data.augment import sample_jitter_params
+
+    rng = np.random.default_rng(0)
+    f, o = sample_jitter_params(rng, 1000, 0.2, 0.2, 0.2)
+    assert f.shape == (1000, 3) and o.shape == (1000,)
+    assert f[:, 0].min() >= 0.8 and f[:, 0].max() <= 1.2
+    assert f[:, 1].min() >= 0.8 and f[:, 1].max() <= 1.2
+    assert np.abs(f[:, 2]).max() <= 0.2
+    assert o.min() >= 0 and o.max() <= 5 and len(np.unique(o)) == 6

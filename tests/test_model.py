@@ -12,6 +12,7 @@ from vfa_tpu.model import VFANet
 
 
 @pytest.mark.parametrize("cfg", [mc_opts, wt_opts], ids=lambda c: c.name)
+@pytest.mark.medium
 def test_forward_shapes(cfg):
     tc = tiny_config(cfg)
     scene = make_scene(tc, seed=0, num_objects=2)
@@ -52,6 +53,7 @@ def test_forward_jits_and_differs_across_cameras():
     assert not np.allclose(np.asarray(p1["heatmap"]), np.asarray(p2["heatmap"]))
 
 
+@pytest.mark.medium
 def test_train_step_grads_flow():
     from vfa_tpu.codec import encode_frame
     from vfa_tpu.losses import compute_loss3d
@@ -88,6 +90,7 @@ def test_train_step_grads_flow():
     assert float(jnp.abs(g_conv1).max()) > 0
 
 
+@pytest.mark.medium
 def test_backbone_remat_is_numerically_identical(rng):
     """nn.remat must not change params or outputs — only backward memory."""
     import jax
@@ -131,6 +134,7 @@ def test_backbone_remat_is_numerically_identical(rng):
                                        err_msg=f"{kwargs} {k}")
 
 
+@pytest.mark.medium
 def test_chunked_backbone_matches_unchunked():
     """backbone_chunks splits the B*N trunk into rematerialized chunks; the
     outputs and gradients must match the single-pass model (up to conv float

@@ -41,6 +41,7 @@ def test_mesh_construction():
     assert mesh.shape == {"data": 4, "cam": 2}
 
 
+@pytest.mark.medium
 def test_sharded_train_step_matches_single_device():
     tc = tiny_config(mc_opts)
     tcfg = TrainConfig(epochs=4, lr=0.001, pretrained=False)
@@ -70,6 +71,7 @@ def test_sharded_train_step_matches_single_device():
                                    atol=2e-5)
 
 
+@pytest.mark.medium
 def test_data_only_mesh_inference():
     tc = tiny_config(mc_opts)
     tcfg = TrainConfig(pretrained=False)
@@ -87,6 +89,7 @@ def test_data_only_mesh_inference():
     assert np.isfinite(np.asarray(pred["heatmap"])).all()
 
 
+@pytest.mark.medium
 def test_camera_psum_bev_matches_unsharded(rng):
     from vfa_tpu.geometry import make_grid
     from vfa_tpu.ops.voxel import sample_voxels, voxel_boxes
@@ -162,6 +165,7 @@ def test_scene_loader_process_sharding():
     np.testing.assert_allclose(got, want)
 
 
+@pytest.mark.medium
 def test_sharded_rig_train_step_matches_single_device():
     """The compiled-rig (window layout) training step must partition over a
     data mesh and reproduce the single-device result — this is the

@@ -59,6 +59,7 @@ def _full_ortho(full, grid, lats, kernels, biases):
     return ortho.reshape(B, L, W, 256)
 
 
+@pytest.mark.medium
 def test_sharded_equals_full(setup):
     tc, grid, full, srig, lats, kernels, biases = setup
     mesh = make_bev_mesh(data=1, bev=4, devices=jax.devices()[:4])
@@ -70,6 +71,7 @@ def test_sharded_equals_full(setup):
                                rtol=1e-5, atol=1e-5)
 
 
+@pytest.mark.medium
 def test_sharded_grads_match(setup):
     tc, grid, full, srig, lats, kernels, biases = setup
     mesh = make_bev_mesh(data=1, bev=4, devices=jax.devices()[:4])
@@ -94,6 +96,7 @@ def test_sharded_grads_match(setup):
                                    rtol=1e-4, atol=1e-4)
 
 
+@pytest.mark.medium
 def test_bev_sharded_train_step_matches_unsharded():
     """Full-model integration: a train step (fwd + encode + loss + bwd +
     SGD) with the BEV plane slab-sharded over a 4-device `bev` mesh must
@@ -161,6 +164,7 @@ def test_bev_sharded_train_step_matches_unsharded():
             rtol=1e-4, atol=1e-5, err_msg=jax.tree_util.keystr(k))
 
 
+@pytest.mark.medium
 def test_fuse_convs_on_sharded_bev(setup):
     """3x3 convs over the row-sharded BEV map: GSPMD must partition them
     (halo exchange) and match the unsharded conv result."""

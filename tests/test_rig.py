@@ -65,6 +65,7 @@ def test_rig_multiscale_shapes():
             assert st.shape[0] == 2
 
 
+@pytest.mark.medium
 def test_train_step_with_rig_matches_reference_path(rng):
     """A full train step through the rig path must match the dynamic path
     (same grads, same loss) in float32."""
@@ -243,6 +244,7 @@ def test_pallas_rig_vjp_matches_xla_interpret(B, buckets, layout, rng):
                                rtol=1e-4, atol=1e-4)
 
 
+@pytest.mark.medium
 def test_pallas_rig_bf16_buffers_close_to_fp32():
     """bf16 features flow through bf16 HBM buffers (tiles out, cotangent,
     dII accumulator — each MXU accumulation still fp32 in VMEM, rounding

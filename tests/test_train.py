@@ -163,6 +163,7 @@ def test_momentum_flag_rejected_while_cycled():
         sys.argv = argv
 
 
+@pytest.mark.medium
 def test_train_steps_reduce_loss():
     tc = tiny_config(mc_opts)
     # long nominal cycle so the test's 12 steps sit in the low-lr warmup
@@ -188,6 +189,7 @@ def test_train_steps_reduce_loss():
     assert pred["heatmap"].shape[0] == 2
 
 
+@pytest.mark.medium
 def test_mixed_precision_fp32_master_keeps_small_updates():
     """compute_dtype='bfloat16' is MIXED precision: the train step keeps
     fp32 master params + momentum and casts at use. At a tiny lr the
@@ -228,6 +230,7 @@ def test_mixed_precision_fp32_master_keeps_small_updates():
     assert lost_in_bf16 >= 0.95 * moved, (moved, lost_in_bf16)
 
 
+@pytest.mark.medium
 def test_mixed_precision_loss_tracks_fp32():
     """Multi-step bf16-compute loss curve stays close to the fp32 curve on
     the same synthetic recipe (convergence smoke for the bf16 bench)."""
@@ -253,6 +256,7 @@ def test_mixed_precision_loss_tracks_fp32():
                                rtol=0.05)
 
 
+@pytest.mark.medium
 def test_checkpoint_roundtrip(tmp_path):
     from vfa_tpu.checkpoint import (
         latest_checkpoint,
