@@ -106,6 +106,112 @@ def color_jitter(
     return img
 
 
+# ---------------------------------------------------------------- device --
+# On-device ColorJitter: the same torchvision float-tensor semantics as the
+# numpy ops above, written in jnp so the jitter runs INSIDE the jitted
+# staging step (one fused elementwise pass over the uint8-staged batch on
+# the TPU) instead of on host loader threads. Factors/op order are sampled
+# on host per image (`sample_jitter_params`) and passed as arrays, so the
+# device op is pure and shape-static. Parity with the host path is pinned
+# by tests/test_augment.py::test_device_color_jitter_matches_host.
+
+_PERMS3: Tuple[Tuple[int, int, int], ...] = (
+    (0, 1, 2), (0, 2, 1), (1, 0, 2), (1, 2, 0), (2, 0, 1), (2, 1, 0))
+
+
+def sample_jitter_params(rng: np.random.Generator, n: int,
+                         brightness: float = 0.2, contrast: float = 0.2,
+                         hue: float = 0.2):
+    """Host-side per-image jitter parameters for `device_color_jitter`.
+
+    Returns (factors (n, 3) float32 [brightness, contrast, hue], order (n,)
+    int32 index into `_PERMS3`) — the vectorized analog of
+    ``ColorJitter.get_params``'s uniform draws + ``randperm``."""
+    factors = np.stack([
+        rng.uniform(max(0.0, 1 - brightness), 1 + brightness, n),
+        rng.uniform(max(0.0, 1 - contrast), 1 + contrast, n),
+        rng.uniform(-hue, hue, n),
+    ], axis=-1).astype(np.float32)
+    order = rng.integers(0, len(_PERMS3), size=n).astype(np.int32)
+    return factors, order
+
+
+def _dev_brightness(img, f):
+    import jax.numpy as jnp
+
+    return jnp.clip(img * f, 0.0, 1.0)
+
+
+def _dev_contrast(img, f):
+    import jax.numpy as jnp
+
+    luma = jnp.asarray(_LUMA, img.dtype)
+    mean = jnp.mean(img[..., :3] @ luma)
+    return jnp.clip(f * img + (1 - f) * mean, 0.0, 1.0)
+
+
+def _dev_hue(img, f):
+    import jax.numpy as jnp
+
+    # mirror _rgb_to_hsv / _hsv_to_rgb op for op (parity to ~1e-7)
+    r, g, b = img[..., 0], img[..., 1], img[..., 2]
+    maxc = jnp.max(img, axis=-1)
+    minc = jnp.min(img, axis=-1)
+    cr = maxc - minc
+    eq = cr == 0
+    s = jnp.where(eq, 0.0, cr / jnp.where(maxc == 0, 1.0, maxc))
+    crd = jnp.where(eq, 1.0, cr)
+    rc = (maxc - r) / crd
+    gc = (maxc - g) / crd
+    bc = (maxc - b) / crd
+    h = jnp.where(maxc == r, bc - gc,
+                  jnp.where(maxc == g, 2.0 + rc - bc, 4.0 + gc - rc))
+    h = jnp.where(eq, 0.0, h)
+    h = (h / 6.0) % 1.0
+
+    h = (h + f) % 1.0
+    i = jnp.floor(h * 6.0)
+    fr = h * 6.0 - i
+    i = i.astype(jnp.int32) % 6
+    v = maxc
+    p = v * (1.0 - s)
+    q = v * (1.0 - s * fr)
+    t = v * (1.0 - s * (1.0 - fr))
+    choices = jnp.stack([
+        jnp.stack([v, t, p], -1), jnp.stack([q, v, p], -1),
+        jnp.stack([p, v, t], -1), jnp.stack([p, q, v], -1),
+        jnp.stack([t, p, v], -1), jnp.stack([v, p, q], -1),
+    ])
+    return jnp.take_along_axis(
+        choices, i[None, ..., None].repeat(3, -1), axis=0)[0]
+
+
+def device_color_jitter(images, factors, order):
+    """Vectorized on-device ColorJitter.
+
+    images (n, H, W, 3) float in [0, 1]; factors (n, 3) [brightness,
+    contrast, hue]; order (n,) int32 index into `_PERMS3`. Each image gets
+    its ops applied in its permutation's order via `lax.switch` (6 static
+    branches — no data-dependent Python control flow under jit)."""
+    import jax
+    import jax.numpy as jnp
+
+    ops = (_dev_brightness, _dev_contrast, _dev_hue)
+
+    def one(img, f, o):
+        def branch(perm):
+            def run(im):
+                for j in perm:
+                    im = ops[j](im, f[j])
+                return im
+            return run
+
+        return jax.lax.switch(o, [branch(p) for p in _PERMS3], img)
+
+    return jax.vmap(one)(images, factors,
+                         jnp.asarray(order, jnp.int32))
+
+
 class ColorJitterAugment:
     """Scene-level augment hook for the loaders: jitters each camera image
     independently (the reference's per-image transform)."""
