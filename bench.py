@@ -88,6 +88,11 @@ def main():
                         "pre-staged device arrays; generates the synthetic "
                         "dataset under --disk_dir on first use")
     p.add_argument("--disk_dir", type=str, default="/tmp/vfa_loader_bench")
+    p.add_argument("--no_augment", action="store_true",
+                   help="with --train --from_disk: skip the train-split "
+                        "ColorJitter (reference train.py:209-214 jitters "
+                        "every train image; the default applies it on-device "
+                        "inside the jitted staging step)")
     p.add_argument("--disk_frames", type=int, default=24)
     p.add_argument("--loader_threads", type=int,
                    default=max(1, min(16, (os.cpu_count() or 1))))
@@ -374,8 +379,33 @@ def main():
         loader = SceneLoader(ds, batch_size=bs, shuffle=False,
                              num_threads=args.loader_threads, max_objects=8,
                              drop_last=True, images_dtype=np.uint8)
-        stage = jax.jit(
-            lambda x: (x.astype(jnp.float32) * (1.0 / 255.0)).astype(dtype))
+        # training staging applies the reference's train-split ColorJitter
+        # ON-DEVICE (vfa_tpu/data/augment.device_color_jitter): the loader
+        # keeps staging quantized uint8 (4x fewer H2D bytes) and the jitter
+        # is a fused elementwise pass on the chip instead of host-thread
+        # numpy HSV math; factors/op order are host-sampled per image.
+        jitter = args.train and not args.no_augment
+        if jitter:
+            from vfa_tpu.data.augment import (device_color_jitter,
+                                              sample_jitter_params)
+
+            aug_rng = np.random.default_rng(0)
+
+            def stage_fn(x, factors, order):
+                f = x.astype(jnp.float32) * (1.0 / 255.0)
+                flat = f.reshape((-1,) + f.shape[2:])
+                flat = device_color_jitter(flat, factors, order)
+                return flat.reshape(f.shape).astype(dtype)
+
+            jstage = jax.jit(stage_fn)
+
+            def stage(x):
+                fac, ordr = sample_jitter_params(
+                    aug_rng, x.shape[0] * x.shape[1])
+                return jstage(x, jnp.asarray(fac), jnp.asarray(ordr))
+        else:
+            stage = jax.jit(
+                lambda x: (x.astype(jnp.float32) * (1.0 / 255.0)).astype(dtype))
         for nb in loader:  # warm: page cache, staging ring, stage() compile
             sync_imgs = stage(jnp.asarray(nb["images"]))
         float(jnp.sum(sync_imgs))

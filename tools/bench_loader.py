@@ -119,12 +119,14 @@ def bench_raw(fpaths, cams, frames, size, backend, dtype=np.float32,
     return n / dt
 
 
-def bench_loader(ds, batch_size, threads, dtype=np.float32, min_scenes=48):
+def bench_loader(ds, batch_size, threads, dtype=np.float32, min_scenes=48,
+                 augment=None):
     loader = SceneLoader(ds, batch_size=batch_size, shuffle=False,
                          num_threads=threads, max_objects=8,
-                         images_dtype=dtype)
+                         images_dtype=dtype, augment=augment)
     for b in loader:  # warm: page cache, thread pool, staging-ring pages
-        pass
+        if augment is not None:
+            break  # host jitter is seconds/scene; one warm batch is enough
     scenes = 0
     t0 = time.perf_counter()
     while scenes < min_scenes:
@@ -148,6 +150,10 @@ def main():
                    help="thread counts to sweep (default: 1..2*cores)")
     p.add_argument("--target", type=float, default=72.0,
                    help="scenes/sec the device side sustains (bench.py)")
+    p.add_argument("--jitter_only", action="store_true",
+                   help="measure only the ColorJitter rows (skip the "
+                        "decode/loader sweep already recorded in "
+                        "IMPLEMENTATION.md)")
     args = p.parse_args()
 
     cfg = get_config(args.data)
@@ -159,7 +165,7 @@ def main():
                             cams, size, args.quality)
 
     rates = {}
-    for backend in ("pil", "native"):
+    for backend in () if args.jitter_only else ("pil", "native"):
         for dtype, tag in ((np.float32, ""), (np.uint8, "_u8")):
             r = bench_raw(fpaths, cams, args.frames, size, backend, dtype)
             rates[backend + tag] = r
@@ -171,7 +177,7 @@ def main():
 
     threads = args.threads or sorted({1, 2, max(1, cores // 2), cores,
                                       2 * cores})
-    for backend in ("pil", "native"):
+    for backend in () if args.jitter_only else ("pil", "native"):
         ds = DiskFrames(cfg, fpaths, args.frames, backend)
         for dtype, tag in ((np.float32, ""), (np.uint8, "_u8")):
             for t in threads:
@@ -182,10 +188,49 @@ def main():
                     "vs_baseline": round(r / args.target, 4),
                 }))
 
-    need = args.target * cams / rates["native"]
-    print(f"# feeding {args.target} scenes/sec needs ~{need:.0f} cores at "
-          f"the native backend's per-core rate (TPU v5e VMs have 112/224)",
-          file=sys.stderr)
+    # Train-split ColorJitter (the reference jitters every train image,
+    # `/root/reference/train.py:209-214`): host numpy cost per scene, plus
+    # the loader e2e WITH host jitter — the number that bounds from-disk
+    # training throughput per core when jitter runs on the host. (The
+    # shipping train path instead applies the jitter ON-DEVICE inside the
+    # jitted staging step — vfa_tpu/data/augment.device_color_jitter — so
+    # the host cost is only the decode; bench.py --train --from_disk
+    # measures that overlapped path.)
+    from vfa_tpu.data.augment import ColorJitterAugment
+
+    aug = ColorJitterAugment()
+    ds0 = DiskFrames(cfg, fpaths, args.frames, "native")
+    scene = ds0.load_images(0)
+    arng = np.random.default_rng(0)
+    aug(scene, arng)  # warm
+    n, t0 = 0, time.perf_counter()
+    while time.perf_counter() - t0 < 4.0:
+        aug(scene, arng)
+        n += 1
+    jit_ms = (time.perf_counter() - t0) / n * 1e3
+    print(json.dumps({
+        "metric": "colorjitter_host_ms_per_scene",
+        "value": round(jit_ms, 1), "unit": "ms/scene",
+        # fraction of one core's real-time budget per scene at the target
+        "vs_baseline": round(jit_ms / 1e3 * args.target, 4),
+    }))
+    # one short e2e row (host jitter is seconds/scene — a full sweep would
+    # run for hours; the ms/scene row above already determines the verdict)
+    ds_aug = DiskFrames(cfg, fpaths, args.frames, "native")
+    t = threads[-1]
+    r = bench_loader(ds_aug, args.batch, t, np.float32, augment=aug,
+                     min_scenes=max(4, args.batch))
+    print(json.dumps({
+        "metric": f"loader_native_hostjitter_t{t}_scenes_per_sec",
+        "value": round(r, 2), "unit": "scenes/sec",
+        "vs_baseline": round(r / args.target, 4),
+    }))
+
+    if "native" in rates:
+        need = args.target * cams / rates["native"]
+        print(f"# feeding {args.target} scenes/sec needs ~{need:.0f} cores "
+              f"at the native backend's per-core rate (TPU v5e VMs have "
+              f"112/224)", file=sys.stderr)
 
 
 if __name__ == "__main__":

@@ -154,6 +154,16 @@ def build_config(args):
 
 
 def make_loaders(cfg, args):
+    """Returns (train, val, dim_mean, device_jitter).
+
+    device_jitter=True means the train loader stages RAW uint8 images (4x
+    fewer host/H2D bytes) and the train-split ColorJitter runs ON-DEVICE
+    inside the jitted staging step (vfa_tpu/data/augment.device_color_jitter)
+    — the host numpy jitter measures SECONDS per scene
+    (tools/bench_loader.py colorjitter_host_ms_per_scene) and would
+    bottleneck any real training run. The synthetic and multi-host paths
+    keep the host float path (synthetic images aren't decoded from disk;
+    make_global_batch assembles host numpy arrays)."""
     # train-split ColorJitter, matching the reference recipe; never on val
     augment = None
     if not args.no_augment:
@@ -173,7 +183,7 @@ def make_loaders(cfg, args):
         val = SyntheticSceneLoader(cfg, num_frames=max(2, args.synthetic_frames // 8),
                                    batch_size=args.batch_size, seed=args.seed + 1,
                                    **shard)
-        return train, val, train.dim_mean
+        return train, val, train.dim_mean, False
 
     from vfa_tpu.data.adapters import ADAPTERS
     from vfa_tpu.data.frame_dataset import FrameDataset, SceneLoader
@@ -185,10 +195,16 @@ def make_loaders(cfg, args):
                               cube_LWH=cfg.cube_size, **kw)
     train_ds = FrameDataset(base, cfg, split="train")
     val_ds = FrameDataset(base, cfg, split="val")
+    device_jitter = augment is not None and not args.multihost
     train = SceneLoader(train_ds, batch_size=args.batch_size, shuffle=True,
-                        seed=args.seed, augment=augment, **shard)
-    val = SceneLoader(val_ds, batch_size=args.batch_size, shuffle=False, **shard)
-    return train, val, train_ds.dim_mean
+                        seed=args.seed,
+                        augment=None if device_jitter else augment,
+                        images_dtype=np.uint8 if device_jitter
+                        else np.float32, **shard)
+    val = SceneLoader(val_ds, batch_size=args.batch_size, shuffle=False,
+                      images_dtype=np.uint8 if device_jitter else np.float32,
+                      **shard)
+    return train, val, train_ds.dim_mean, device_jitter
 
 
 def main():
@@ -219,16 +235,49 @@ def main():
 
     np.random.seed(tcfg.seed)
 
-    train_loader, val_loader, dim_mean = make_loaders(cfg, args)
+    train_loader, val_loader, dim_mean, device_jitter = make_loaders(cfg, args)
     steps_per_epoch = max(1, len(train_loader))
     from vfa_tpu.rig_cli import build_cli_rig, resolve_rig_impl
 
     rig_impl = resolve_rig_impl(args.rig_impl)
     model = create_model(cfg, tcfg, rig_impl=rig_impl)
 
+    compute_dt = (jnp.bfloat16 if tcfg.compute_dtype == "bfloat16"
+                  else jnp.float32)
+    if device_jitter:
+        # uint8-staged batches: [0,1] normalization + train-split
+        # ColorJitter run ON-DEVICE in one jitted pass (host jitter is
+        # seconds/scene — see make_loaders docstring); factors/op order
+        # are host-sampled per image for determinism under --seed
+        from vfa_tpu.data.augment import (device_color_jitter,
+                                          sample_jitter_params)
+
+        aug_rng = np.random.default_rng(tcfg.seed + 777)
+
+        @jax.jit
+        def _stage_jitter(x, factors, order):
+            f = x.astype(jnp.float32) * (1.0 / 255.0)
+            flat = f.reshape((-1,) + f.shape[2:])
+            flat = device_color_jitter(flat, factors, order)
+            return flat.reshape(f.shape).astype(compute_dt)
+
+    @jax.jit
+    def _stage_plain(x):
+        return (x.astype(jnp.float32) * (1.0 / 255.0)).astype(compute_dt)
+
+    def stage_images(images, jitter=False):
+        imgs = jnp.asarray(images)
+        if jitter:
+            fac, order = sample_jitter_params(
+                aug_rng, imgs.shape[0] * imgs.shape[1])
+            return _stage_jitter(imgs, jnp.asarray(fac), jnp.asarray(order))
+        return _stage_plain(imgs)
+
     sample = next(iter(train_loader))
     batch0 = {k: jnp.asarray(v) for k, v in sample.items()
               if k not in ("objects", "index", "frame")}
+    if batch0["images"].dtype == jnp.uint8:
+        batch0["images"] = stage_images(sample["images"])
     # init runs the dynamic voxel path; one scene is enough for params (the
     # full batch can exceed HBM through the gather formulation)
     init0 = {k: (v if k == "grid" else v[:1]) for k, v in batch0.items()}
@@ -281,10 +330,12 @@ def main():
         print(f"multihost: {jax.process_count()} processes, "
               f"{len(jax.devices())} devices, mesh {dict(zip(mesh.axis_names, mesh.devices.shape))}")
 
-    def to_device(batch):
+    def to_device(batch, jitter=False):
         jb = {k: v for k, v in batch.items()
               if k not in ("objects", "index", "frame")}
-        if tcfg.compute_dtype == "bfloat16":
+        if jb["images"].dtype == np.uint8:
+            jb["images"] = stage_images(jb["images"], jitter=jitter)
+        elif tcfg.compute_dtype == "bfloat16":
             jb["images"] = jnp.asarray(jb["images"], jnp.bfloat16)
         if mesh is None:
             return {k: jnp.asarray(v) for k, v in jb.items()}
@@ -310,8 +361,11 @@ def main():
         pred_hm = np.asarray(jax.nn.sigmoid(pred["heatmap"][0, 0]))
         gt_hm = np.asarray(batch["heatmap"][0])
         writer.figure("train/heatmap", heatmap_figure(pred_hm, gt_hm), step)
+        imgs = np.asarray(batch["images"][0])
+        if imgs.dtype == np.uint8:  # uint8-staged loader (device jitter)
+            imgs = imgs.astype(np.float32) / 255.0
         writer.figure("train/prediction", prediction_figure(
-            np.asarray(batch["images"][0]), np.asarray(batch["calibs"][0]),
+            imgs, np.asarray(batch["calibs"][0]),
             pred_hm, dets, batch["objects"][0], cfg), step)
 
     from vfa_tpu.observability import MetricsWriter, profile_trace
@@ -326,7 +380,7 @@ def main():
         t0 = time.time()
         epoch_loss = MetricDict()
         for i, batch in enumerate(train_loader):
-            jb = to_device(batch)
+            jb = to_device(batch, jitter=device_jitter)
             tracing = args.profile_steps and global_it == args.profile_steps
             with profile_trace(os.path.join(savedir, "profile") if tracing else None):
                 state, loss_dict = train_step(state, jb, rig)

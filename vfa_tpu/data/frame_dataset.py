@@ -32,7 +32,11 @@ class FrameDataset:
         self.cfg = cfg
         self.image_backend = image_backend
         self.num_cam = base.num_cam
-        n = base.num_frame
+        # the adapters hardcode the full datasets' frame counts (reference
+        # `vfa/data/dataset.py` convention); clamp to the annotations
+        # actually on disk so partial checkouts / mini fixtures work
+        avail = len(base.labels) * (5 if base.name == "Wildtrack" else 1)
+        n = min(base.num_frame, avail)
         if split == "train":
             rng = range(0, int(n * train_ratio))
         else:

@@ -88,6 +88,31 @@ class ResNetGN(nn.Module):
     # HBM pressure XLA compresses/uncompresses it across the step instead.
     # Recomputing conv1+GN in the backward pass drops it entirely.
     stem_remat: bool = False
+    # fuse the stem's GN+relu+maxpool backward into two Pallas kernels
+    # (ops/stem.py): forward numerics unchanged (exact flax op sequence),
+    # backward recomputes from the conv1 activation instead of XLA's
+    # SelectAndScatter + multi-pass GN reductions. MEASURED NEGATIVE at MC
+    # train batch 8 bf16 (round 5): the kernels beat the ops they replace
+    # in isolation (8.3 vs 11.1 ms/scene incl. fwd recompute) and in-step
+    # (3.15 ms/scene pallas vs ~3.5 of select_and_scatter+adds+Unknown),
+    # but the custom-call boundary costs ~7 ms/scene of XLA glue — paired
+    # (W,C)->(W/2,2C) reshape copies (+1.9), halo-strip gathers (+1.3),
+    # unfused max/reduce_sum/add_any passes (+4.7), conv layout
+    # perturbation (+0.8) — for 65.8 vs 57.0 ms/scene e2e. Default OFF;
+    # the op + kernels + tests stay for future Mosaic versions that can
+    # relayout (W,64)->(W/2,128) in-kernel (the blocker for native-shape
+    # I/O that would kill most of the glue). VFA_FUSED_STEM=1-style
+    # experiments: construct ResNetGN(fused_stem=True).
+    fused_stem: bool = False
+
+    def _fused_stem_on(self) -> bool:
+        # VFA_FUSED_STEM=1/0 overrides the attribute (bench experiments)
+        import os
+
+        env = os.environ.get("VFA_FUSED_STEM")
+        if env is not None:
+            return env != "0"
+        return self.fused_stem
 
     @nn.compact
     def __call__(self, x) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
@@ -95,6 +120,11 @@ class ResNetGN(nn.Module):
             del mdl  # scope carrier for nn.remat; children attach compactly
             xc = nn.Conv(64, (7, 7), strides=(2, 2), padding=((3, 3), (3, 3)),
                          use_bias=False, name="conv1")(xc)
+            if self._fused_stem_on():
+                from vfa_tpu.ops.stem import make_module
+
+                return make_module(num_groups=16, epsilon=GN_EPS,
+                                   name="bn1")(xc)
             xc = nn.relu(group_norm("bn1")(xc))
             return nn.max_pool(xc, (3, 3), strides=(2, 2),
                                padding=((1, 1), (1, 1)))
