@@ -177,13 +177,18 @@ def _dev_hue(img, f):
     p = v * (1.0 - s)
     q = v * (1.0 - s * fr)
     t = v * (1.0 - s * (1.0 - fr))
-    choices = jnp.stack([
-        jnp.stack([v, t, p], -1), jnp.stack([q, v, p], -1),
-        jnp.stack([p, v, t], -1), jnp.stack([p, q, v], -1),
-        jnp.stack([t, p, v], -1), jnp.stack([v, p, q], -1),
-    ])
-    return jnp.take_along_axis(
-        choices, i[None, ..., None].repeat(3, -1), axis=0)[0]
+    # per-sector (r, g, b) via elementwise select cascades — a stacked
+    # 6-way choices array + take_along_axis materializes 6x the image in
+    # fp32 plus s32 index buffers (26 GB at a full 8x7-camera batch) and
+    # OOMs the staging step; the selects fuse into one pass
+    def sector(c0, c1, c2, c3, c4, c5):
+        return jnp.where(i == 0, c0, jnp.where(i == 1, c1, jnp.where(
+            i == 2, c2, jnp.where(i == 3, c3, jnp.where(i == 4, c4, c5)))))
+
+    r = sector(v, q, p, p, t, v)
+    g = sector(t, v, v, q, p, p)
+    b = sector(p, p, t, v, v, q)
+    return jnp.stack([r, g, b], -1)
 
 
 def device_color_jitter(images, factors, order):
