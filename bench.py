@@ -332,8 +332,10 @@ def main():
         attempts = ([(4, 2), (2, 1), (2, 2), (1, 1)] if args.grid2x
                     else [(8, 1), (8, 2), (4, 1), (4, 2), (2, 1), (1, 1)])
     else:
+        # batch 32 measures 72.6 vs 71.96 scenes/sec at batch 16 (round 5);
+        # 24 is SLOWER (68.2). OOM falls back down the list.
         attempts = ([(8, 1), (4, 1), (2, 1), (1, 1)] if args.grid2x
-                    else [(16, 1), (8, 1), (4, 1), (2, 1), (1, 1)])
+                    else [(32, 1), (16, 1), (8, 1), (4, 1), (2, 1), (1, 1)])
     for bs, chunks in attempts:
         try:
             jfn, fargs = maker(bs, chunks)
